@@ -1,0 +1,94 @@
+"""A1/W6: corpus-frequency antirules.
+
+Reference (/root/reference/sweet/create_lfs.py:17-34 +
+sweet/labeling_functions.py:135-143): Counter over all non-stop, non-punct
+token texts; sort by count descending (Counter.most_common tie-break =
+first-seen order); FrequencyDetector(threshold t) labels any token whose text
+is in the top ``int(V * t)`` of that ranking as NOT_NAME, for
+t in {0.01, 0.02, 0.03, 0.04, 0.05}.
+
+Spark shape: explode -> filter -> groupBy(token).count() (map-side partial agg
+makes this one cheap shuffle) -> row_number window ordered by
+(count DESC, first_seen ASC) — the deterministic stand-in for Counter's
+insertion-order tie-break, replicated by the oracle — -> top-k cut. The
+ranked list is tiny (vocabulary-sized) and is broadcast back as the
+anti-dimension; votes come from a broadcast semi-join, so the whole operator
+costs one aggregation shuffle regardless of corpus size.
+
+spacy is_stop/is_punct are approximated with a fixed stopword set + an
+all-punctuation regex (deviation shared with the oracle, SURVEY §7.0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+THRESHOLDS = [0.01, 0.02, 0.03, 0.04, 0.05]
+
+# compact subset of spacy's English stop list — fixed so engine and oracle
+# share it exactly (tests/oracle.py imports this).
+STOPWORDS = {
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "from",
+    "had", "has", "have", "he", "her", "his", "i", "in", "is", "it", "its",
+    "me", "my", "no", "not", "of", "on", "or", "our", "she", "that", "the",
+    "their", "them", "they", "this", "to", "was", "we", "were", "when",
+    "which", "who", "will", "with", "you", "your", "after", "about", "all",
+    "am", "been", "before", "between", "both", "can", "do", "does", "down",
+    "during", "each", "few", "more", "most", "other", "out", "over", "own",
+    "same", "so", "some", "such", "than", "then", "there", "these", "those",
+    "through", "under", "until", "up", "very", "what", "where", "while",
+    "why", "how", "if", "into", "just", "now", "only", "said", "say", "see",
+}
+
+PUNCT_REGEX = r"^[\p{P}\p{S}]+$"
+
+
+def word_frequency(token_view: DataFrame) -> DataFrame:
+    """(tok, cnt, first_seen, rank) over non-stop, non-punct tokens.
+    first_seen = min(row_id * 2^20 + pos) — global first occurrence for the
+    Counter-insertion-order tie-break (documents < 2^20 tokens each)."""
+    filtered = token_view.where(
+        (~F.lower("tok").isin(list(STOPWORDS))) & (~F.col("tok").rlike(PUNCT_REGEX))
+    )
+    freq = filtered.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("row_id") * (1 << 20) + F.col("pos")).alias("first_seen"),
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("first_seen"))
+    return freq.withColumn("rank", F.row_number().over(w))
+
+
+def frequency_votes(token_view: DataFrame, freq: DataFrame,
+                    thresholds: list[float] | None = None) -> DataFrame:
+    """NOT_NAME votes for each threshold LF. Membership is on the exact token
+    text (reference `tok.text in self.common_words`), via broadcast join of
+    the tiny ranked vocabulary."""
+    thresholds = thresholds or THRESHOLDS
+    vocab_size = freq.count()
+    max_k = max(int(vocab_size * t) for t in thresholds)
+    # ONE broadcast join against the widest top-k, then one explode emitting
+    # each threshold LF whose cutoff the token's rank clears — single corpus
+    # pass for all five antirule LFs.
+    top = freq.where(F.col("rank") <= max_k).select(
+        F.col("tok").alias("common_tok"), "rank"
+    )
+    lf_hits = F.filter(
+        F.array(
+            *[
+                F.when(F.col("rank") <= int(vocab_size * t), F.lit(f"freq_{t}"))
+                for t in thresholds
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        token_view.join(F.broadcast(top), F.col("tok") == F.col("common_tok"), "inner")
+        .select(
+            "row_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.explode(lf_hits).alias("lf_name"),
+            F.lit("NOT_NAME").alias("label"),
+            F.lit(1.0).alias("weight"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Stage 3 — canonicalization via connected components (J9).
+
+Large-star / small-star alternation (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SOCC'14 — public algorithm): each round is two
+self-join + min-aggregation passes; converges in O(log n) rounds on
+path-like graphs and O(log log n) typically.
+
+Scale notes (north_rule: explicit skew handling, lineage truncation):
+* every iteration ends in ``localCheckpoint()`` to cut the lineage chain —
+  without it the plan doubles per round and the driver OOMs planning;
+* hub entities (a surface aliased by thousands) make `groupBy(u)` skew; AQE
+  skew-join splitting is on, and the star operations themselves bound fan-out
+  because each round contracts stars toward the minimum id;
+* convergence is detected with a cheap changed-edge count (sum over an
+  anti-join of consecutive label frames).
+
+Implementation detail: we operate on the *label frame* l(v) (v -> current
+component min). large_star: for each edge (u,v) emit (v, min(l(u),l(v))) for
+neighbors v > u's label; small_star symmetrically. We use the simpler,
+provably-convergent variant: alternate
+  l'(v) = min over neighbors-and-self of l(.)
+propagation (one join + groupBy per round) with star contraction on the label
+graph — equivalent fixpoint, same join/agg shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import COMPONENTS
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         checkpoint_every: int = 1) -> DataFrame:
+    """edges(src, dst) [strings] -> COMPONENTS(entity_id, component_id).
+
+    component_id = min(entity_id) over the component (lexicographic min for
+    string ids — deterministic canonical alias election).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # self-loops keep isolated endpoints in the label frame
+    nodes = sym.select(F.col("src").alias("v")).distinct()
+    labels = nodes.select("v", F.col("v").alias("l")).localCheckpoint()
+    sym = sym.localCheckpoint()
+
+    for i in range(max_iter):
+        # propagate: candidate label of v = min(l(u)) over neighbors u, then
+        # min with v's own label. Two hash aggs + one shuffle join per round.
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("l").alias("nl"))
+            .withColumnRenamed("dst", "v")
+        )
+        new_labels = (
+            labels.join(nbr_min, "v", "left")
+            .select("v", F.least(F.col("l"), F.coalesce("nl", F.col("l"))).alias("l"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        # convergence: any label changed?
+        changed = (
+            labels.withColumnRenamed("l", "l_old")
+            .join(new_labels, "v")
+            .where(F.col("l_old") != F.col("l"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+        # star contraction: also jump to the label's label (pointer doubling)
+        # — turns O(diameter) propagation into O(log diameter).
+        jumped = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.l") == F.col("b.v"), "left")
+            .select(
+                F.col("a.v").alias("v"),
+                F.least(F.col("a.l"), F.coalesce(F.col("b.l"), F.col("a.l"))).alias("l"),
+            )
+        )
+        labels = jumped.localCheckpoint()
+
+    return labels.select(
+        F.col("v").alias("entity_id"), F.col("l").alias("component_id")
+    )

@@ -1,0 +1,115 @@
+"""Stage 2 — entity linking: blocked candidate generation + link scoring (J8/M5).
+
+Reference analog: the dictionary/rule surface matching (J1/J5) links mentions
+to gazetteer entries by exact lower-cased surface. At 10^12-file scale exact
+match misses alias variants, so the north_star prescribes MinHash/LSH blocking
+over mention-surface character n-grams plus a vectorized scorer.
+
+Design (hand-rolled, pure DataFrame — no ml.Vector detour, SURVEY §7.2.6):
+
+1. distinct surfaces (tiny vs corpus: one distinct shuffle);
+2. char 3-gram explode;
+3. per (surface, band) minhash: for band b, the signature is
+   min(xxhash64(gram, seed=b)) over the surface's grams — groupBy partial agg;
+4. candidates = self-join on (band, signature) bucket — equi-join;
+   **skew guard**: buckets larger than ``max_block`` are dropped with a
+   logged counter (standard LSH practice; "no silent caps");
+5. verify: exact n-gram Jaccard >= ``min_jaccard`` via within-pair set ops;
+6. plus exact lower()-equality edges (the reference's own linking semantics).
+
+The deterministic md5-based variant (`minhash_signatures(use_md5=True)`) is
+bit-identical to the DuckDB oracle; the fast path uses xxhash64 (JVM,
+whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _grams_expr(col, n: int = 3):
+    padded = F.concat(F.lit("^"), F.lower(col), F.lit("$"))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1))),
+            lambda i: padded.substr(i, F.lit(n)),
+        )
+    )
+
+
+def surface_grams(surfaces: DataFrame, col: str = "surface", n: int = 3) -> DataFrame:
+    """(surface, gram) exploded distinct char n-grams."""
+    base = surfaces.withColumnRenamed(col, "surface") if col != "surface" else surfaces
+    return base.select(
+        "surface", F.explode(_grams_expr(F.col("surface"), n)).alias("gram")
+    )
+
+
+def minhash_signatures(grams: DataFrame, num_bands: int = 8,
+                       use_md5: bool = False) -> DataFrame:
+    """(surface, band, sig): sig = min over grams of h(gram, band).
+
+    use_md5=True -> h = md5(band || ':' || gram) (string min — identical in
+    DuckDB, used by the correctness oracle); default xxhash64 (fast path)."""
+    bands = F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band")
+    g = grams.select("surface", "gram", bands)
+    if use_md5:
+        h = F.md5(F.concat_ws(":", F.col("band"), F.col("gram")))
+    else:
+        h = F.xxhash64(F.col("band"), F.col("gram")).cast("string")
+    return g.groupBy("surface", "band").agg(F.min(h).alias("sig"))
+
+
+def lsh_candidates(signatures: DataFrame, max_block: int = 50) -> tuple[DataFrame, DataFrame]:
+    """Self-join on (band, sig) buckets -> candidate pairs (src < dst).
+
+    Returns (pairs, dropped_blocks) — blocks larger than max_block are the
+    hub-surface skew guard; they are excluded and REPORTED, never silently
+    capped (SURVEY §7.3.3)."""
+    sized = signatures.withColumn(
+        "block_size", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+    )
+    dropped = (
+        sized.where(F.col("block_size") > max_block)
+        .groupBy("band", "sig")
+        .agg(F.max("block_size").alias("block_size"))
+    )
+    ok = sized.where(F.col("block_size") <= max_block).select("surface", "band", "sig")
+    a = ok.alias("a")
+    b = ok.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .where(F.col("a.surface") < F.col("b.surface"))
+        .select(F.col("a.surface").alias("src"), F.col("b.surface").alias("dst"))
+        .distinct()
+    )
+    return pairs, dropped
+
+
+def jaccard_verify(pairs: DataFrame, n: int = 3, min_jaccard: float = 0.4) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (within-row array ops — no
+    further shuffle) -> CANDIDATES (src, dst, sim)."""
+    g1 = _grams_expr(F.col("src"), n)
+    g2 = _grams_expr(F.col("dst"), n)
+    inter = F.size(F.array_intersect(g1, g2))
+    union = F.size(F.array_union(g1, g2))
+    sim = (inter / union).alias("sim")
+    return (
+        pairs.select("src", "dst", sim)
+        .where(F.col("sim") >= min_jaccard)
+    )
+
+
+def link_surfaces(mentions: DataFrame, num_bands: int = 8, n: int = 3,
+                  min_jaccard: float = 0.4, max_block: int = 50,
+                  use_md5: bool = False) -> tuple[DataFrame, DataFrame]:
+    """mentions -> (edges(src,dst,sim), dropped_blocks). Edges connect alias
+    surface variants (lower-cased); exact-equality duplicates collapse in the
+    initial distinct."""
+    surfaces = mentions.select(F.lower(F.col("surface")).alias("surface")).distinct()
+    grams = surface_grams(surfaces, n=n)
+    sigs = minhash_signatures(grams, num_bands=num_bands, use_md5=use_md5)
+    pairs, dropped = lsh_candidates(sigs, max_block=max_block)
+    edges = jaccard_verify(pairs, n=n, min_jaccard=min_jaccard)
+    return edges, dropped

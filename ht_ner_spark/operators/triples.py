@@ -1,0 +1,107 @@
+"""Stage 4 — triple materialization (A9 + lineage + sha invariant audit).
+
+Emitted predicates:
+* (doc_uri, 'mentions', canonical_entity)   — doc_uri = repo/path@commit
+* (alias_surface, 'alias_of', canonical)    — from stage-3 components
+* (canonical_entity, 'appears_in', repo)    — repo-level rollup
+
+Write discipline (north_rule): dropDuplicates on (subj,pred,obj) (partial+
+final hash agg), repartition('pred') so each output partition is written by
+one task set, then write.partitionBy('pred'). Lineage struct carries
+(repo, path, commit, content_sha256, stage versions, LF provenance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import STAGE_VERSIONS
+
+
+def doc_uri():
+    return F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"),
+                       F.lit("@"), F.col("commit"))
+
+
+def build_triples(corpus: DataFrame, entities: DataFrame,
+                  components: DataFrame | None = None,
+                  lf_provenance: list[str] | None = None) -> DataFrame:
+    """corpus ⋈ per-row predicted entities (row_id, entities:array) ⋈ optional
+    canonical components -> TRIPLES rows."""
+    ex = entities.select("row_id", F.explode("entities").alias("entity"))
+    if components is not None:
+        # broadcast if the alias table is small; AQE will also switch at runtime
+        comp = components.withColumnRenamed("entity_id", "entity")
+        ex = (
+            ex.join(F.broadcast(comp), "entity", "left")
+            .select(
+                "row_id",
+                "entity",
+                F.coalesce("component_id", F.col("entity")).alias("canonical"),
+            )
+        )
+    else:
+        ex = ex.withColumn("canonical", F.col("entity"))
+
+    joined = ex.join(corpus, "row_id", "inner")
+    lineage = F.struct(
+        F.col("repo"), F.col("path"), F.col("commit"), F.col("content_sha256"),
+        F.array(*[F.lit(s) for s in STAGE_VERSIONS]).alias("stage_versions"),
+        F.array(*[F.lit(s) for s in (lf_provenance or [])]).alias("lf_provenance"),
+    )
+
+    mentions_t = joined.select(
+        doc_uri().alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("canonical").alias("obj"),
+        F.lit(1.0).alias("conf"),
+        lineage.alias("lineage"),
+    )
+    alias_t = joined.where(F.col("entity") != F.col("canonical")).select(
+        F.col("entity").alias("subj"),
+        F.lit("alias_of").alias("pred"),
+        F.col("canonical").alias("obj"),
+        F.lit(1.0).alias("conf"),
+        lineage.alias("lineage"),
+    )
+    appears_t = joined.select(
+        F.col("canonical").alias("subj"),
+        F.lit("appears_in").alias("pred"),
+        F.col("repo").alias("obj"),
+        F.lit(1.0).alias("conf"),
+        lineage.alias("lineage"),
+    )
+    return mentions_t.unionByName(alias_t).unionByName(appears_t)
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """A9: distinct (subj,pred,obj) keeping one lineage witness (min doc uri
+    ordering via max conf is irrelevant — lineage rows are equal per key up to
+    provenance; first() is deterministic after the sort-free hash agg only in
+    value, so we take min by subj lineage sha for determinism)."""
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(
+            F.max("conf").alias("conf"),
+            F.min_by("lineage", F.col("lineage.content_sha256")).alias("lineage"),
+        )
+    )
+
+
+def write_triples(triples: DataFrame, path: str, pred_partitions: int | None = None) -> None:
+    out = dedup_triples(triples)
+    out = out.repartition("pred") if pred_partitions is None else out.repartition(
+        pred_partitions, "pred"
+    )
+    out.write.mode("overwrite").partitionBy("pred").parquet(path)
+
+
+def sha_invariant_audit(corpus: DataFrame, triples: DataFrame) -> DataFrame:
+    """Final invariant check: every triple lineage sha must exist in the
+    source corpus (anti-join must be empty)."""
+    src = corpus.select(F.col("content_sha256").alias("sha")).distinct()
+    return (
+        triples.select(F.col("lineage.content_sha256").alias("sha")).distinct()
+        .join(src, "sha", "left_anti")
+    )

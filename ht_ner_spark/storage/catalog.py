@@ -1,0 +1,78 @@
+"""Table catalog shim (SURVEY.md §7.0).
+
+The production target is Iceberg (``spark.read.table`` against a configured
+``spark.sql.catalog.*``); this sandbox has no Iceberg runtime jar, so the shim
+falls back to partitioned parquet in an identical layout plus a ``_meta``
+schema JSON. Iceberg is configuration, not code: every caller goes through
+``write_table``/``read_table`` and never names a format.
+
+At 100 TB the parquet path keeps the properties we rely on: partition pruning
+on the partition columns, predicate pushdown, column pruning, and idempotent
+overwrite-by-table (stage resume re-writes a whole stage dir atomically via
+overwrite mode, mirroring Iceberg's snapshot replace).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_enabled(spark: SparkSession) -> str | None:
+    """Return the configured Iceberg catalog name, if any."""
+    for k, v in spark.sparkContext.getConf().getAll():
+        if k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower():
+            return k.split(".")[3]
+    return None
+
+
+def write_table(
+    df: DataFrame,
+    warehouse: str,
+    name: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    cat = _iceberg_enabled(df.sparkSession)
+    if cat:
+        writer = df.writeTo(f"{cat}.{name}")
+        if partition_by:
+            from pyspark.sql import functions as F
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        return
+    path = os.path.join(warehouse, name)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    meta = {
+        "name": name,
+        "schema": df.schema.jsonValue(),
+        "partition_by": partition_by or [],
+    }
+    os.makedirs(os.path.join(warehouse, "_meta"), exist_ok=True)
+    with open(os.path.join(warehouse, "_meta", f"{name}.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def read_table(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
+    cat = _iceberg_enabled(spark)
+    if cat:
+        return spark.read.table(f"{cat}.{name}")
+    return spark.read.parquet(os.path.join(warehouse, name))
+
+
+def table_exists(spark: SparkSession, warehouse: str, name: str) -> bool:
+    cat = _iceberg_enabled(spark)
+    if cat:
+        return spark.catalog.tableExists(f"{cat}.{name}")
+    path = os.path.join(warehouse, name)
+    if not os.path.isdir(path):
+        return False
+    # a dir without _SUCCESS is a torn write -> treat as absent (resume redoes it)
+    return "_SUCCESS" in os.listdir(path) or bool(
+        [f for f in os.listdir(path) if f.endswith(".parquet") or f.startswith("pred=")]
+    )
