@@ -1,0 +1,109 @@
+"""Stage 2 LSH linking + stage 3 connected components correctness."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from ht_ner_spark.operators.components import connected_components
+from ht_ner_spark.operators.linking import (
+    _grams_expr,
+    jaccard_verify,
+    link_surfaces,
+    lsh_candidates,
+    minhash_signatures,
+    surface_grams,
+)
+
+from . import oracle
+
+MENTION_SCHEMA = (
+    "row_id long, lf_name string, begin int, end int, surface string, "
+    "label string, base_conf double, confidence double"
+)
+
+SURFACES = ["alice", "Alice", "ALICE", "alicia", "bob", "bobby", "carol",
+            "karol", "mary ann", "maryann", "completely-different"]
+
+
+def _py_grams(s, n=3):
+    p = f"^{s.lower()}$"
+    return {p[i:i + n] for i in range(max(len(p) - n + 1, 1))}
+
+
+def _mentions_df(spark):
+    rows = [(i, "dictionary", 0, 1, s, "PERSON_NAME", 0.5, 0.5)
+            for i, s in enumerate(SURFACES)]
+    return spark.createDataFrame(rows, MENTION_SCHEMA)
+
+
+def test_jaccard_verify_exact(spark):
+    pairs = spark.createDataFrame(
+        [("alice", "alicia"), ("bob", "carol")], "src string, dst string"
+    )
+    got = {(r["src"], r["dst"]): r["sim"] for r in jaccard_verify(pairs, min_jaccard=0.0).collect()}
+    for (a, b), sim in got.items():
+        ga, gb = _py_grams(a), _py_grams(b)
+        assert abs(sim - len(ga & gb) / len(ga | gb)) < 1e-12
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """With enough bands the banded join must recover every pair whose true
+    Jaccard clears the verify threshold (pinned fixture, deterministic)."""
+    m = _mentions_df(spark)
+    edges, dropped = link_surfaces(m, num_bands=24, min_jaccard=0.4, max_block=50)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    # brute force over distinct lowered surfaces
+    low = sorted({s.lower() for s in SURFACES})
+    want = set()
+    for a, b in itertools.combinations(low, 2):
+        ga, gb = _py_grams(a), _py_grams(b)
+        if len(ga & gb) / len(ga | gb) >= 0.4:
+            want.add((min(a, b), max(a, b)))
+    assert want == got
+    assert ("carol", "karol") in got and ("mary ann", "maryann") in got
+    assert dropped.count() == 0
+
+
+def test_lsh_max_block_drops_and_reports(spark):
+    # 60 identical surfaces -> one huge bucket > max_block -> dropped+reported
+    rows = [(i, "dictionary", 0, 1, f"same{i % 2}", "PERSON_NAME", 0.5, 0.5)
+            for i in range(60)]
+    m = spark.createDataFrame(rows, MENTION_SCHEMA)
+    # distinct surfaces = 2 -> small; instead test via signatures directly
+    sigs = spark.createDataFrame(
+        [(f"s{i}", 0, "xx") for i in range(60)] + [("a", 1, "y"), ("b", 1, "y")],
+        "surface string, band int, sig string",
+    )
+    pairs, dropped = lsh_candidates(sigs, max_block=50)
+    assert dropped.count() == 1  # the size-60 block reported
+    assert {(r["src"], r["dst"]) for r in pairs.collect()} == {("a", "b")}
+
+
+def test_connected_components_vs_union_find(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("d", "e"), ("f", "f"),
+        ("g", "h"), ("h", "i"), ("i", "j"), ("j", "g"),  # cycle
+        ("k", "l"), ("l", "m"), ("m", "n"), ("n", "o"), ("o", "p"),  # path
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["entity_id"]: r["component_id"]
+        for r in connected_components(df, max_iter=30).collect()
+    }
+    want = oracle.union_find_components(edges)
+    assert got == want
+
+
+def test_connected_components_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(80)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(100)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["entity_id"]: r["component_id"]
+        for r in connected_components(df, max_iter=30).collect()
+    }
+    want = oracle.union_find_components(edges)
+    assert got == want

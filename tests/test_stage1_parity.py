@@ -1,0 +1,168 @@
+"""Stage-1 parity: Spark LF battery + vote aggregation vs the pure-Python
+oracle, plus trie/relational gazetteer agreement and the P/R >= 0.95 gate
+against planted gold entities (SURVEY §5.1-5.2)."""
+
+from pyspark.sql import functions as F
+
+from ht_ner_spark.corpus import DEFAULT_GAZETTEER, gold_entities, synthetic_corpus, synthetic_rows
+from ht_ner_spark.operators.aggregate import predicted_entities, weighted_vote
+from ht_ner_spark.operators import antirules as ar
+from ht_ner_spark.operators import rules as ru
+from ht_ner_spark.operators import votes as vo
+from ht_ner_spark.operators.gazetteer import gazetteer_df, match_relational, match_trie
+from ht_ner_spark.operators.metrics import f1_scores
+from ht_ner_spark.operators.tokens import token_view, with_tokens
+from ht_ner_spark.pipeline import PipelineConfig, stage1_mentions
+
+from . import oracle
+
+N_ROWS = 120
+
+
+def _corpus(spark):
+    return synthetic_corpus(spark, N_ROWS)
+
+
+def test_tokenizer_matches_oracle(spark):
+    c = with_tokens(_corpus(spark))
+    got = {r["row_id"]: r["tokens"] for r in c.select("row_id", "tokens").collect()}
+    for row in synthetic_rows(N_ROWS):
+        assert got[row[0]] == oracle.tokenize(row[5]), row[0]
+
+
+def test_trie_and_relational_gazetteer_agree(spark):
+    c = _corpus(spark)
+    toks = with_tokens(c)
+    rel = match_relational(toks, gazetteer_df(spark, DEFAULT_GAZETTEER))
+    trie = match_trie(c, DEFAULT_GAZETTEER)
+    cols = ["row_id", "begin", "end", "surface", "base_conf"]
+    a = {tuple(r) for r in rel.select(cols).collect()}
+    b = {tuple(r) for r in trie.select(cols).collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_gazetteer_matches_oracle(spark):
+    c = _corpus(spark)
+    trie = match_trie(c, DEFAULT_GAZETTEER)
+    got = {
+        (r["row_id"], r["begin"], r["end"], r["surface"], r["base_conf"])
+        for r in trie.collect()
+    }
+    want = set()
+    for row in synthetic_rows(N_ROWS):
+        toks = oracle.tokenize(row[5])
+        for b, e, s, w in oracle.gazetteer_mentions(toks, DEFAULT_GAZETTEER):
+            want.add((row[0], b, e, s, w))
+    assert got == want
+
+
+def test_rule_mentions_match_oracle(spark):
+    tview = token_view(with_tokens(_corpus(spark)))
+    got = {
+        (r["row_id"], r["lf_name"], r["begin"], r["end"], r["surface"])
+        for r in ru.rule_mentions(tview).collect()
+    }
+    want = set()
+    for row in synthetic_rows(N_ROWS):
+        toks = oracle.tokenize(row[5])
+        for lf, b, e, s, _ in oracle.rule_mentions(toks):
+            want.add((row[0], lf, b, e, s))
+    assert got == want
+    assert len(got) > 0
+    # dead patterns never fire (LOWER-attr quirk)
+    dead = {"rule5", "rule9", "rule10", "rule11", "rule13", "rule22", "rule23", "rule24"}
+    assert not {g[1] for g in got} & dead
+
+
+def test_caps_detectors_match_oracle(spark):
+    tview = token_view(with_tokens(_corpus(spark)))
+    got_caps = {(r["row_id"], r["begin"]) for r in ru.all_caps_mentions(tview).collect()}
+    got_nc = {(r["row_id"], r["begin"]) for r in ru.name_case_mentions(tview).collect()}
+    want_caps, want_nc = set(), set()
+    for row in synthetic_rows(N_ROWS):
+        toks = oracle.tokenize(row[5])
+        want_caps |= {(row[0], i) for i, _ in oracle.all_caps(toks)}
+        want_nc |= {(row[0], i) for i, _ in oracle.name_case(toks)}
+    assert got_caps == want_caps
+    assert got_nc == want_nc
+
+
+def test_frequency_votes_match_oracle(spark):
+    tview = token_view(with_tokens(_corpus(spark)))
+    freq = ar.word_frequency(tview)
+    got = {
+        (r["row_id"], r["pos"], r["lf_name"])
+        for r in ar.frequency_votes(tview, freq).collect()
+    }
+    toks = {row[0]: oracle.tokenize(row[5]) for row in synthetic_rows(N_ROWS)}
+    want = {(rid, pos, lf) for rid, pos, lf, _, _ in oracle.frequency_votes(toks)}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stage1_entities_match_oracle_and_gold(spark, tmp_path):
+    c = _corpus(spark)
+    cfg = PipelineConfig(warehouse=str(tmp_path), use_trie=True)
+    mentions, votes = stage1_mentions(c, cfg)
+    agg = weighted_vote(votes, threshold=cfg.vote_threshold)
+    ents = predicted_entities(agg, token_view(with_tokens(c)))
+    got = {r["row_id"]: set(r["entities"]) for r in ents.collect()}
+
+    docs = {row[0]: row[5] for row in synthetic_rows(N_ROWS)}
+    want = oracle.stage1_entities(docs, DEFAULT_GAZETTEER)
+    want = {k: v for k, v in want.items() if v}
+    assert got == want
+
+    # THE parity gate (north_rule): P/R >= 0.95 vs the reference-semantics
+    # oracle, measured with the faithful metrics port (set semantics of
+    # src/metrics.py:64-67). Equality above implies 1.0, but run the real
+    # metric path end-to-end:
+    rows = [
+        (rid, "|".join(sorted(want.get(rid, set()))) or "N",
+         "|".join(sorted(got.get(rid, set()))) or "N")
+        for rid in docs
+    ]
+    df = spark.createDataFrame(rows, "row_id long, truth string, pred string")
+    scores = f1_scores(df, "truth", "pred")
+    assert scores["entity_precision"] >= 0.95
+    assert scores["entity_recall"] >= 0.95
+
+    # sanity vs planted gold: recall is bounded by the reference's own J2
+    # quirk (multi-token surfaces never vote -> multi-token plants are
+    # unreachable by design); precision by the caps-detector noise the
+    # reference also emits. Loose floors only — the authoritative gate is the
+    # oracle comparison above.
+    gold = gold_entities(N_ROWS)
+    eps = 1e-7
+    tp = fp = fn = eps
+    for rid in gold:
+        p, t = got.get(rid, set()), gold[rid]
+        tp += len(p & t)
+        fp += len(p - t)
+        fn += len(t - p)
+    precision, recall = tp / (tp + fp), tp / (tp + fn)
+    assert recall >= 0.85, (precision, recall)
+    assert precision >= 0.40, (precision, recall)
+
+
+def test_j2_quirk_multi_token_surfaces_never_vote(spark):
+    # 'mary ann' matches as a phrase but no single token equals it ->
+    # the projection must produce no 'mary ann' votes.
+    df = spark.createDataFrame(
+        [(0, "r", "p", "c", "md", "we met mary ann maRy yesterday")],
+        "row_id long, repo string, path string, commit string, lang string, content string",
+    ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    toks = with_tokens(df)
+    tview = token_view(toks)
+    m = match_trie(df, {"mary ann": 0.9})
+    assert m.count() == 1  # the span exists
+    v = vo.project_mentions_to_votes(tview, m)
+    assert v.count() == 0  # but no token vote (quirk preserved)
+    # single-token surface: EVERY token equal to ANY extracted span text is
+    # voted — 'maRy' matched case-insensitively, its original-case text joins
+    # the surface set, so both positions vote (reference semantics,
+    # labeling_functions.py:40-42 over PhraseMatcher LOWER span texts).
+    m2 = match_trie(df, {"mary": 0.9})
+    v2 = vo.project_mentions_to_votes(tview, m2)
+    assert {r["pos"] for r in v2.collect()} == {2, 4}
