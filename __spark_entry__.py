@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      -> flagship query: the full 4-stage KG pipeline over the
+                     sf0.001 documents corpus, returning the triples DataFrame.
+queries()         -> one callable per implemented operator (SURVEY.md §2).
+oracle_sql()      -> matching DuckDB SQL for every SQL-expressible operator.
+
+All logic lives in ht_ner_spark.contract; this file is the stable driver
+interface.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ht_ner_spark import contract
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline (mentions -> linking -> CC -> triples) on
+    /root/testdata/sf0.001 documents, adapted to the Iceberg corpus shape."""
+    from ht_ner_spark.corpus import load_documents
+    from ht_ner_spark.pipeline import PipelineConfig, run
+
+    corpus = load_documents(spark, "/root/testdata/sf0.001")
+    wh = tempfile.mkdtemp(prefix="htner_entry_")
+    cfg = PipelineConfig(warehouse=wh, run_id="entry", gazetteer=contract.GAZ_Q)
+    return run(spark, corpus, cfg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return contract.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return contract.oracle_sql()

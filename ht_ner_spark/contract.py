@@ -1,0 +1,1170 @@
+"""Driver verification contract: paired Spark queries + DuckDB oracle SQL.
+
+Every SQL-expressible operator from SURVEY.md §2 gets a `queries()` entry
+(Spark, the real engine code path) and an `oracle_sql()` entry (ANSI-ish SQL
+DuckDB runs on the same parquet). SQL strings are GENERATED from the same
+Python constants the engine uses (gazetteer, stopwords, rule patterns), so
+the two sides cannot drift silently.
+
+Column-name discipline: every computed column is aliased identically on both
+sides; all integers cast to BIGINT, floats rounded where division order could
+matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import bio as bio_fns
+from .functions.text import TOKEN_PATTERN, string_to_entities, truncate_words
+from .operators import dedup as dd
+from .operators import rules as ru
+from .operators import similarity as sim
+from .operators import textstats as ts
+from .operators.antirules import STOPWORDS
+from .operators.combine import combine_dict_rule
+from .operators.components import connected_components
+from .operators.gazetteer import gazetteer_df, match_relational, match_trie
+from .operators.linking import lsh_candidates, minhash_signatures, surface_grams
+from .operators.merge import merge_adjacent
+from .operators.tokens import token_view, with_tokens
+
+# ---------------------------------------------------------------------------
+# shared constants
+
+# gazetteer over tokens that actually occur in the driver `documents` corpus
+GAZ_Q: dict[str, float] = {
+    "spark": 0.9,
+    "customer": 0.8,
+    "vector": 0.7,
+    "window": 0.6,
+    "merge": 0.5,
+    "key order": 0.85,
+    "hash join": 0.75,
+}
+GAZ_SINGLE = {k: v for k, v in GAZ_Q.items() if " " not in k}
+
+_SQL_TOKEN_PATTERN = r"\w+|\$[\d\.]+|\S+"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(row_id, tokens) using the canonical tokenizer; row_id := doc_id."""
+    return with_tokens(
+        _docs(spark, sf_dir).select(F.col("doc_id").alias("row_id"), "text"),
+        text_col="text",
+    )
+
+
+def _tview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_view(_doc_tokens(spark, sf_dir))
+
+
+_SQL_TOKS = f"""
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}')) AS tok,
+         unnest(range(0, len(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}')))) AS pos,
+         len(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}')) AS n_toks
+  FROM documents
+)"""
+
+
+def _sql_in_list(values) -> str:
+    return ", ".join("'" + v.replace("'", "''") + "'" for v in sorted(values))
+
+
+# ===========================================================================
+# 1. tokenize stats (T3)
+
+def q_tokenize_stats(spark, sf_dir):
+    t = _doc_tokens(spark, sf_dir)
+    return t.select(
+        F.col("row_id").cast("long").alias("doc_id"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct"),
+    )
+
+
+SQL_TOKENIZE_STATS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
+FROM documents
+"""
+
+
+# ===========================================================================
+# 2. gazetteer broadcast join (J1 relational)
+
+def q_gazetteer_match(spark, sf_dir):
+    gaz = gazetteer_df(spark, GAZ_Q)
+    m = match_relational(_doc_tokens(spark, sf_dir), gaz)
+    return m.select(
+        F.col("row_id").cast("long").alias("doc_id"),
+        F.col("begin").cast("long").alias("begin"),
+        F.col("end").cast("long").alias("end"),
+        "surface",
+        F.round("base_conf", 6).alias("weight"),
+    )
+
+
+def _sql_gazetteer_match() -> str:
+    singles = " UNION ALL ".join(
+        f"SELECT '{k}' AS name, {v} AS weight, 1 AS n" for k, v in GAZ_Q.items() if " " not in k
+    )
+    doubles = " UNION ALL ".join(
+        f"SELECT '{k}' AS name, {v} AS weight, 2 AS n" for k, v in GAZ_Q.items() if " " in k
+    ) or "SELECT NULL AS name, NULL AS weight, 2 AS n WHERE FALSE"
+    return f"""
+WITH {_SQL_TOKS},
+gaz1 AS ({singles}),
+gaz2 AS ({doubles}),
+leads AS (
+  SELECT doc_id, pos, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+  FROM toks
+),
+m1 AS (
+  SELECT t.doc_id, t.pos AS begin, t.pos + 1 AS "end", t.tok AS surface, g.weight
+  FROM toks t JOIN gaz1 g ON lower(t.tok) = g.name
+),
+m2 AS (
+  SELECT l.doc_id, l.pos AS begin, l.pos + 2 AS "end",
+         l.tok || ' ' || l.t1 AS surface, g.weight
+  FROM leads l JOIN gaz2 g ON lower(l.tok || ' ' || l.t1) = g.name
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(begin AS BIGINT) AS begin,
+       CAST("end" AS BIGINT) AS "end", surface,
+       CAST(round(weight, 6) AS DOUBLE) AS weight
+FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+"""
+
+
+# ===========================================================================
+# 3. rule patterns (W3) on derived text planting triggers
+
+_RULE_DERIVED = (
+    "'call me ' || upper(substr(text, 1, 1)) || substr(split_part(text, ' ', 1), 2)"
+    " || ' ' || text"
+)
+
+
+def q_rule_patterns(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("row_id"),
+        F.expr(
+            "concat('call me ', upper(substr(text, 1, 1)), "
+            "substr(split(text, ' ')[0], 2), ' ', text)"
+        ).alias("text"),
+    )
+    tv = token_view(with_tokens(d, text_col="text"))
+    m = ru.rule_mentions(tv)
+    return m.select(
+        F.col("row_id").cast("long").alias("doc_id"),
+        "lf_name",
+        F.col("begin").cast("long").alias("begin"),
+        "surface",
+        F.round("base_conf", 6).alias("conf"),
+    )
+
+
+def _sql_rule_patterns() -> str:
+    conds = []
+    for idx, (pname, trig, conf) in enumerate(ru.RULE_PATTERNS):
+        esc = [t.replace("'", "''") for t in trig]
+        if len(trig) == 2:
+            conds.append(
+                f"SELECT doc_id, 'rule{idx}' AS lf_name, pos + 2 AS begin, t2 AS surface, "
+                f"{conf} AS conf FROM leads WHERE lower(tok) = '{esc[0]}' AND "
+                f"lower(t1) = '{esc[1]}' AND regexp_matches(t2, '^[[:upper:]]')"
+            )
+        else:
+            conds.append(
+                f"SELECT doc_id, 'rule{idx}' AS lf_name, pos + 1 AS begin, t1 AS surface, "
+                f"{conf} AS conf FROM leads WHERE lower(tok) = '{esc[0]}' AND "
+                f"regexp_matches(t1, '^[[:upper:]]')"
+            )
+    union = " UNION ALL ".join(conds)
+    return f"""
+WITH derived AS (
+  SELECT doc_id, {_RULE_DERIVED} AS text FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}')) AS tok,
+         unnest(range(0, len(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}')))) AS pos
+  FROM derived
+),
+leads AS (
+  SELECT doc_id, pos, tok,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+         lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lf_name, CAST(begin AS BIGINT) AS begin,
+       surface, CAST(round(conf, 6) AS DOUBLE) AS conf
+FROM ({union})
+"""
+
+
+# ===========================================================================
+# 4. caps detectors (W5) on a derived mixed-case token stream
+
+def q_caps_detectors(spark, sf_dir):
+    tv = _tview(spark, sf_dir).withColumn(
+        "tok",
+        F.when(F.col("pos") % 7 == 3, F.upper("tok")).otherwise(F.col("tok")),
+    )
+    caps = ru.all_caps_mentions(tv).select(
+        "row_id", F.lit("all_caps").alias("lf"), "begin", "surface"
+    )
+    nc = ru.name_case_mentions(tv).select(
+        "row_id", F.lit("name_case").alias("lf"), "begin", "surface"
+    )
+    out = caps.unionByName(nc)
+    return out.select(
+        F.col("row_id").cast("long").alias("doc_id"), "lf",
+        F.col("begin").cast("long").alias("pos"), "surface",
+    )
+
+
+SQL_CAPS_DETECTORS = f"""
+WITH {_SQL_TOKS},
+mixed AS (
+  SELECT doc_id, pos, n_toks,
+         CASE WHEN pos % 7 = 3 THEN upper(tok) ELSE tok END AS tok
+  FROM toks
+),
+caps AS (
+  SELECT doc_id, 'all_caps' AS lf, pos, tok AS surface FROM mixed
+  WHERE pos >= 1 AND length(tok) > 2 AND upper(tok) = tok AND lower(tok) <> tok
+),
+nc AS (
+  SELECT doc_id, 'name_case' AS lf, pos, tok AS surface FROM mixed
+  WHERE pos >= 1 AND pos < n_toks - 2 AND length(tok) > 2 AND length(tok) < 15
+        AND regexp_matches(tok, '^[[:upper:]]')
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lf, CAST(pos AS BIGINT) AS pos, surface
+FROM (SELECT * FROM caps UNION ALL SELECT * FROM nc)
+"""
+
+
+# ===========================================================================
+# 5. word frequency top-k (A1/A2/W6)
+
+TOPK = 50
+
+
+def q_word_freq_topk(spark, sf_dir):
+    tv = _tview(spark, sf_dir)
+    filtered = tv.where(
+        (~F.lower("tok").isin(sorted(STOPWORDS)))
+        & (~F.col("tok").rlike(r"^[\p{P}\p{S}]+$"))
+    )
+    freq = filtered.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("tok", F.col("cnt").cast("long").alias("cnt"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+SQL_WORD_FREQ_TOPK = f"""
+WITH {_SQL_TOKS},
+freq AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks
+  WHERE lower(tok) NOT IN ({_sql_in_list(STOPWORDS)})
+    AND NOT regexp_matches(tok, '^[[:punct:]]+$')
+  GROUP BY tok
+)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank
+FROM freq
+QUALIFY rank <= {TOPK}
+"""
+
+
+# ===========================================================================
+# 6. entity-set F1 counts (A4/SO1)
+
+def q_entity_f1_counts(spark, sf_dir):
+    t = _doc_tokens(spark, sf_dir)
+    gaz = sorted(GAZ_SINGLE)
+    truth = F.array_distinct(
+        F.filter(F.col("tokens"), lambda x: F.lower(x).isin(gaz))
+    )
+    pred = F.array_distinct(
+        F.filter(F.col("tokens"), lambda x: F.length(x) >= 6)
+    )
+    per_row = t.select(
+        F.size(F.array_intersect(pred, truth)).alias("tp"),
+        F.size(F.array_except(pred, truth)).alias("fp"),
+        F.size(F.array_except(truth, pred)).alias("fn"),
+    )
+    return per_row.agg(
+        F.sum("tp").cast("long").alias("entity_tp"),
+        F.sum("fp").cast("long").alias("entity_fp"),
+        F.sum("fn").cast("long").alias("entity_fn"),
+    )
+
+
+SQL_ENTITY_F1_COUNTS = f"""
+WITH {_SQL_TOKS},
+sets AS (
+  SELECT doc_id,
+         list_distinct(COALESCE(list(tok) FILTER (lower(tok) IN ({_sql_in_list(GAZ_SINGLE)})), [])) AS truth,
+         list_distinct(COALESCE(list(tok) FILTER (length(tok) >= 6), [])) AS pred
+  FROM toks GROUP BY doc_id
+)
+SELECT CAST(SUM(len(list_intersect(pred, truth))) AS BIGINT) AS entity_tp,
+       CAST(SUM(len(list_filter(pred, x -> NOT list_contains(truth, x)))) AS BIGINT) AS entity_fp,
+       CAST(SUM(len(list_filter(truth, x -> NOT list_contains(pred, x)))) AS BIGINT) AS entity_fn
+FROM sets
+"""
+
+
+# ===========================================================================
+# 7. BIO tagging (AR1) — derived tags, real to_bio, exploded comparison
+
+def q_bio_tags(spark, sf_dir):
+    t = _doc_tokens(spark, sf_dir)
+    gaz = sorted(GAZ_SINGLE)
+    tags = F.transform(
+        F.col("tokens"),
+        lambda x: F.when(F.lower(x).isin(gaz), F.lit("NAME")).otherwise(F.lit("O")),
+    )
+    tagged = t.select(F.col("row_id").alias("doc_id"),
+                      bio_fns.to_bio(tags).alias("bio"))
+    return tagged.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("bio").alias("pos", "tag"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tag")
+
+
+SQL_BIO_TAGS = f"""
+WITH {_SQL_TOKS},
+tagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lower(tok) IN ({_sql_in_list(GAZ_SINGLE)}) THEN 'NAME' ELSE 'O' END AS tag
+  FROM toks
+),
+bio AS (
+  SELECT doc_id, pos, tag,
+         lag(tag) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tagged
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos,
+       CASE WHEN tag = 'O' THEN 'O'
+            WHEN prev IS NULL OR prev <> tag THEN 'B-' || tag
+            ELSE 'I-' || tag END AS tag
+FROM bio
+"""
+
+
+# ===========================================================================
+# 8. adjacent-fragment merge (W2) — islands over gazetteer-token positions
+
+def q_subtoken_merge(spark, sf_dir):
+    tv = _tview(spark, sf_dir)
+    frags = tv.where(F.lower("tok").isin(sorted(GAZ_SINGLE))).select(
+        F.col("row_id").alias("doc_id"),
+        F.col("pos").alias("start"),
+        (F.col("pos") + 1).alias("end"),
+        F.col("tok").alias("word"),
+    )
+    merged = merge_adjacent(frags, row_col="doc_id", score_col=None)
+    return merged.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "word",
+    )
+
+
+SQL_SUBTOKEN_MERGE = f"""
+WITH {_SQL_TOKS},
+frags AS (
+  SELECT doc_id, pos AS start, pos + 1 AS "end", tok AS word FROM toks
+  WHERE lower(tok) IN ({_sql_in_list(GAZ_SINGLE)})
+),
+flagged AS (
+  SELECT *, CASE WHEN start = lag("end") OVER w THEN 0 ELSE 1 END AS new_grp
+  FROM frags WINDOW w AS (PARTITION BY doc_id ORDER BY start, "end")
+),
+grouped AS (
+  SELECT *, SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY start, "end"
+            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(start) AS BIGINT) AS start,
+       CAST(MAX("end") AS BIGINT) AS "end",
+       string_agg(word, '' ORDER BY start) AS word
+FROM grouped GROUP BY doc_id, grp
+"""
+
+
+# ===========================================================================
+# 9. combiner (J5)
+
+def q_combine_dict_rule(spark, sf_dir):
+    tv = _tview(spark, sf_dir)
+    gaz = gazetteer_df(spark, GAZ_SINGLE)
+    base = tv.join(F.broadcast(gaz), F.lower(F.col("tok")) == F.col("name"))
+    d = base.select(
+        F.col("row_id"), F.lit("dict").alias("lf_name"),
+        F.col("pos").cast("int").alias("begin"),
+        (F.col("pos") + 1).cast("int").alias("end"),
+        F.col("tok").alias("surface"), F.lit("PERSON_NAME").alias("label"),
+        F.col("weight").alias("base_conf"), F.col("weight").alias("confidence"),
+    )
+    r = d.where(F.col("begin") % 2 == 0).withColumn("base_conf", F.lit(0.5))
+    combined = combine_dict_rule(d, r)
+    return combined.select(
+        F.col("row_id").cast("long").alias("doc_id"), "surface",
+        F.col("begin").cast("long").alias("begin"),
+        F.round("base_conf", 6).alias("base_conf"),
+    )
+
+
+def _sql_combine() -> str:
+    gaz_rows = " UNION ALL ".join(
+        f"SELECT '{k}' AS name, {v} AS weight" for k, v in GAZ_SINGLE.items()
+    )
+    return f"""
+WITH {_SQL_TOKS},
+gaz AS ({gaz_rows}),
+d AS (
+  SELECT t.doc_id, t.pos AS begin, t.tok AS surface, g.weight AS conf
+  FROM toks t JOIN gaz g ON lower(t.tok) = g.name
+),
+r AS (SELECT doc_id, begin, surface, 0.5 AS conf FROM d WHERE begin % 2 = 0)
+SELECT CAST(COALESCE(d.doc_id, r.doc_id) AS BIGINT) AS doc_id,
+       COALESCE(d.surface, r.surface) AS surface,
+       CAST(COALESCE(d.begin, r.begin) AS BIGINT) AS begin,
+       CAST(round(CASE WHEN d.conf IS NOT NULL AND r.conf IS NOT NULL
+                  THEN 0.5 * d.conf + 0.5 * r.conf
+                  ELSE 0.5 * COALESCE(d.conf, r.conf) END, 6) AS DOUBLE) AS base_conf
+FROM d FULL OUTER JOIN r
+  ON d.doc_id = r.doc_id AND d.surface = r.surface AND d.begin = r.begin
+"""
+
+
+# ===========================================================================
+# 10. MinHash signatures + LSH candidates (J8, md5-portable variant)
+
+LSH_BANDS = 4
+
+
+def _q_surfaces(spark, sf_dir):
+    return _tview(spark, sf_dir).select(F.lower("tok").alias("surface")).distinct()
+
+
+def q_minhash_signatures(spark, sf_dir):
+    grams = surface_grams(_q_surfaces(spark, sf_dir), n=3)
+    sig = minhash_signatures(grams, num_bands=LSH_BANDS, use_md5=True)
+    return sig.select("surface", F.col("band").cast("long").alias("band"), "sig")
+
+
+_SQL_GRAMS = """
+grams AS (
+  SELECT surface, unnest(list_distinct(
+           [substr(p, i, 3) FOR i IN range(1, greatest(len(p) - 2, 1) + 1)])) AS gram
+  FROM (SELECT surface, '^' || surface || '$' AS p FROM surfaces)
+)"""
+
+_SQL_SURFACES = f"""
+surfaces AS (
+  SELECT DISTINCT lower(unnest(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}'))) AS surface
+  FROM documents
+)"""
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH {_SQL_SURFACES},
+{_SQL_GRAMS},
+banded AS (
+  SELECT surface, gram, unnest(range(0, {LSH_BANDS})) AS band FROM grams
+)
+SELECT surface, CAST(band AS BIGINT) AS band,
+       MIN(md5(band || ':' || gram)) AS sig
+FROM banded GROUP BY surface, band
+"""
+
+
+def q_lsh_candidates(spark, sf_dir):
+    grams = surface_grams(_q_surfaces(spark, sf_dir), n=3)
+    sig = minhash_signatures(grams, num_bands=LSH_BANDS, use_md5=True)
+    pairs, _ = lsh_candidates(sig, max_block=50)
+    return pairs.select("src", "dst")
+
+
+SQL_LSH_CANDIDATES = f"""
+WITH {_SQL_SURFACES},
+{_SQL_GRAMS},
+banded AS (
+  SELECT surface, gram, unnest(range(0, {LSH_BANDS})) AS band FROM grams
+),
+sigs AS (
+  SELECT surface, band, MIN(md5(band || ':' || gram)) AS sig
+  FROM banded GROUP BY surface, band
+),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bs FROM sigs
+),
+ok AS (SELECT * FROM sized WHERE bs <= 50)
+SELECT DISTINCT a.surface AS src, b.surface AS dst
+FROM ok a JOIN ok b ON a.band = b.band AND a.sig = b.sig AND a.surface < b.surface
+"""
+
+
+# ===========================================================================
+# 11. n-gram Jaccard verified pairs (J8 verify / near-dup surfaces)
+
+def q_jaccard_pairs(spark, sf_dir):
+    from .operators.linking import jaccard_verify
+
+    grams = surface_grams(_q_surfaces(spark, sf_dir), n=3)
+    sig = minhash_signatures(grams, num_bands=LSH_BANDS, use_md5=True)
+    pairs, _ = lsh_candidates(sig, max_block=50)
+    return jaccard_verify(pairs, n=3, min_jaccard=0.4).select(
+        "src", "dst", F.round("sim", 6).alias("sim")
+    )
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH {_SQL_SURFACES},
+{_SQL_GRAMS},
+banded AS (
+  SELECT surface, gram, unnest(range(0, {LSH_BANDS})) AS band FROM grams
+),
+sigs AS (
+  SELECT surface, band, MIN(md5(band || ':' || gram)) AS sig
+  FROM banded GROUP BY surface, band
+),
+sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bs FROM sigs),
+ok AS (SELECT * FROM sized WHERE bs <= 50),
+cand AS (
+  SELECT DISTINCT a.surface AS src, b.surface AS dst
+  FROM ok a JOIN ok b ON a.band = b.band AND a.sig = b.sig AND a.surface < b.surface
+),
+gsets AS (
+  SELECT surface, list_distinct(
+           [substr(p, i, 3) FOR i IN range(1, greatest(len(p) - 2, 1) + 1)]) AS gs
+  FROM (SELECT surface, '^' || surface || '$' AS p FROM surfaces)
+)
+SELECT c.src, c.dst,
+       round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+             / len(list_distinct(ga.gs || gb.gs)), 6) AS sim
+FROM cand c JOIN gsets ga ON ga.surface = c.src JOIN gsets gb ON gb.surface = c.dst
+WHERE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+      / len(list_distinct(ga.gs || gb.gs)) >= 0.4
+"""
+
+
+# ===========================================================================
+# 12. connected components (J9) — token-adjacency graph, recursive-CTE oracle
+
+CC_DOCS = 30
+
+
+def q_connected_components(spark, sf_dir):
+    tv = _tview(spark, sf_dir).where(F.col("row_id") < CC_DOCS)
+    w = Window.partitionBy("row_id").orderBy("pos")
+    gaz = sorted(GAZ_SINGLE)
+    edges = (
+        tv.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.lower("tok").isin(gaz) & F.lower("nxt").isin(gaz))
+        .select(F.lower("tok").alias("src"), F.lower("nxt").alias("dst"))
+        .distinct()
+    )
+    return connected_components(edges, max_iter=15).select("entity_id", "component_id")
+
+
+SQL_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}')) AS tok,
+         unnest(range(0, len(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}')))) AS pos
+  FROM documents WHERE doc_id < {CC_DOCS}
+),
+leads AS (
+  SELECT doc_id, tok, pos, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks
+),
+edges AS (
+  SELECT DISTINCT lower(tok) AS src, lower(nxt) AS dst FROM leads
+  WHERE lower(tok) IN ({_sql_in_list(GAZ_SINGLE)})
+    AND lower(nxt) IN ({_sql_in_list(GAZ_SINGLE)})
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(n, l) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.l FROM reach r JOIN sym s ON s.src = r.n
+)
+SELECT n AS entity_id, MIN(l) AS component_id FROM reach GROUP BY n
+"""
+
+
+# ===========================================================================
+# 13. triples (stage 4 shape, SQL-expressible slice)
+
+def q_triples(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t = with_tokens(d.select(F.col("doc_id").alias("row_id"), "source", "text"),
+                    text_col="text")
+    gaz = sorted(GAZ_SINGLE)
+    ents = t.select(
+        "row_id", "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.filter(F.col("tokens"), lambda x: F.lower(x).isin(gaz)),
+                    lambda x: F.lower(x),
+                )
+            )
+        ).alias("entity"),
+    )
+    mentions_t = ents.select(
+        F.concat(F.lit("doc/"), F.col("row_id")).alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("entity").alias("obj"),
+    )
+    appears_t = ents.select(
+        F.col("entity").alias("subj"),
+        F.lit("appears_in").alias("pred"),
+        F.col("source").alias("obj"),
+    )
+    return mentions_t.unionByName(appears_t).distinct()
+
+
+SQL_TRIPLES = f"""
+WITH {_SQL_TOKS},
+ents AS (
+  SELECT DISTINCT t.doc_id, d.source, lower(t.tok) AS entity
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+  WHERE lower(t.tok) IN ({_sql_in_list(GAZ_SINGLE)})
+)
+SELECT 'doc/' || doc_id AS subj, 'mentions' AS pred, entity AS obj FROM ents
+UNION
+SELECT entity AS subj, 'appears_in' AS pred, source AS obj FROM ents
+"""
+
+
+# ===========================================================================
+# 14. exact dedup (hash-groupBy) on a derived duplicate-rich key
+
+def q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3)).alias("head3"),
+    )
+    groups = dd.exact_duplicate_groups(d, text_col="head3", id_col="doc_id")
+    return groups.select(
+        "content_md5",
+        F.col("dup_count").cast("long").alias("dup_count"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_md5
+  FROM documents
+)
+SELECT content_md5, CAST(COUNT(*) AS BIGINT) AS dup_count,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM keyed GROUP BY content_md5 HAVING COUNT(*) > 1
+"""
+
+
+# ===========================================================================
+# 15. document minhash near-dup pairs (md5-portable)
+
+DOC_BANDS = 4
+
+
+def q_doc_minhash_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    sigs = dd.doc_minhash(d, text_col="text", id_col="doc_id", k=3,
+                          num_bands=DOC_BANDS, use_md5=True)
+    pairs = dd.minhash_dupe_pairs(sigs, min_shared_bands=2, max_block=500)
+    return pairs.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("shared_bands").cast("long").alias("shared_bands"),
+    )
+
+
+SQL_DOC_MINHASH_PAIRS = f"""
+WITH docs_t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS shingle
+  FROM docs_t WHERE len(w) >= 3
+),
+banded AS (
+  SELECT doc_id, shingle, unnest(range(0, {DOC_BANDS})) AS band FROM shingles
+),
+sigs AS (
+  SELECT doc_id, band, MIN(md5(band || ':' || shingle)) AS sig
+  FROM banded GROUP BY doc_id, band
+),
+sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bs FROM sigs),
+ok AS (SELECT * FROM sized WHERE bs <= 500)
+SELECT CAST(a.doc_id AS BIGINT) AS src, CAST(b.doc_id AS BIGINT) AS dst,
+       CAST(COUNT(*) AS BIGINT) AS shared_bands
+FROM ok a JOIN ok b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
+"""
+
+
+# ===========================================================================
+# 16. simhash fingerprints (portable bit formula)
+
+SIMHASH_BITS = 16
+
+
+def q_simhash(spark, sf_dir):
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return dd.simhash_fingerprints(d, text_col="text", id_col="doc_id",
+                                   bits=SIMHASH_BITS).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "simhash"
+    )
+
+
+def _sql_simhash() -> str:
+    bit_exprs = ", ".join(
+        f"CASE WHEN SUM(CASE WHEN substr(md5(tok || ':{j}'), 1, 1) >= '8' "
+        f"THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    concat = " || ".join(f"b{j}" for j in range(SIMHASH_BITS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE doc_id < 200
+),
+bits AS (SELECT doc_id, {bit_exprs} FROM toks GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {concat} AS simhash FROM bits
+"""
+
+
+# ===========================================================================
+# 17. embedding brute-force top-k (rank-only output)
+
+ANN_K = 5
+ANN_QUERIES = 3
+
+
+def q_embedding_topk(spark, sf_dir):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.where(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.brute_force_topk(vecs, queries, k=ANN_K)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {ANN_QUERIES}
+),
+pairs AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(v.embedding) + 1),
+            i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+  FROM embeddings v CROSS JOIN q WHERE v.vec_id <> q.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM pairs QUALIFY rank <= {ANN_K}
+"""
+
+
+# ===========================================================================
+# 18. quality stats / language id / fingerprint / token estimates
+
+def q_quality_stats(spark, sf_dir):
+    return ts.quality_stats(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chars", "n_tokens", "avg_token_len", "stopword_ratio",
+        "punct_ratio", "upper_ratio", "digit_ratio",
+    )
+
+
+SQL_QUALITY_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CAST(n_chars AS DOUBLE) / greatest(len(toks), 1), 4) AS avg_token_len,
+       round(CAST(len(list_filter(toks, t -> t IN ({_sql_in_list(STOPWORDS)}))) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS stopword_ratio,
+       round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+             / greatest(n_chars, 1), 4) AS punct_ratio,
+       round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+             / greatest(n_chars, 1), 4) AS upper_ratio,
+       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(n_chars, 1), 4) AS digit_ratio
+FROM base
+"""
+
+
+def q_language_id(spark, sf_dir):
+    return ts.language_id(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "pred_lang", "hits"
+    )
+
+
+def _sql_language_id() -> str:
+    hit_cols = ", ".join(
+        f"len(list_filter(toks, t -> t IN ({_sql_in_list(words)}))) AS h_{lang}"
+        for lang, words in sorted(ts.LANG_PROFILES.items())
+    )
+    structs = ", ".join(
+        f"{{'hits': h_{lang}, 'lang': '{lang}'}}" for lang in sorted(ts.LANG_PROFILES)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+),
+hits AS (SELECT doc_id, {hit_cols} FROM base),
+ranked AS (
+  SELECT doc_id,
+         list_sort([{structs}],
+                   'ASC')[1] AS worst,
+         list_reverse_sort([{structs}])[1] AS best0
+  FROM hits
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN best0['hits'] > 0 THEN best0['lang'] ELSE 'und' END AS pred_lang,
+       CAST(best0['hits'] AS BIGINT) AS hits
+FROM ranked
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return ts.document_fingerprint(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fingerprint"
+    )
+
+
+SQL_FINGERPRINT = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(array_to_string(
+           [toks[i] FOR i IN range(1, len(toks) + 1) IF (i - 1) % 5 = 0],
+           chr(31))) AS fingerprint
+FROM base
+"""
+
+
+def q_bpe_estimate(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ts.bpe_token_estimate(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+SQL_BPE_ESTIMATE = """
+WITH base AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS words FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(list_sum(list_transform(words,
+              w -> 1 + CAST(floor(greatest(length(w) - 1, 0) / 6) AS INT)))
+            + len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS bpe_tokens
+FROM base
+"""
+
+
+# ===========================================================================
+# 19. events sessionization (W2-class on the stream table)
+
+SESSION_GAP_S = 1800
+
+
+def q_events_sessionize(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(epoch - F.lag(epoch).over(w) > SESSION_GAP_S, 1).otherwise(
+            F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+        ),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_s").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ).select(F.col("user_id").cast("long").alias("user_id"), "n_sessions", "n_events")
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {SESSION_GAP_S} THEN 1
+              ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+# ===========================================================================
+# 20. relational pushdown agg (P1/P4-class over lineitem, exact types)
+
+def q_lineitem_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_quantity") >= 10)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.min(F.col("l_shipdate").cast("string")).alias("min_ship"),
+            F.max(F.col("l_shipdate").cast("string")).alias("max_ship"),
+        )
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       SUM(l_quantity) AS sum_qty,
+       CAST(MIN(l_shipdate) AS VARCHAR) AS min_ship,
+       CAST(MAX(l_shipdate) AS VARCHAR) AS max_ship
+FROM lineitem WHERE l_quantity >= 10
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ===========================================================================
+# 21. deterministic split assignment (SO5)
+
+def q_split_assign(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 10
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < 8, "train").when(bucket < 9, "valid").otherwise("test").alias("split"),
+    )
+
+
+SQL_SPLIT_ASSIGN = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 AS BIGINT) AS bucket,
+       CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 8 THEN 'train'
+            WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 9 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# ===========================================================================
+# 22. entity-string parse (T5/P2/P3)
+
+def q_entity_string_parse(spark, sf_dir):
+    d = _doc_tokens(spark, sf_dir)
+    gaz = sorted(GAZ_SINGLE)
+    s = F.when(
+        F.col("row_id") % 2 == 0, F.lit("N")
+    ).otherwise(
+        F.concat_ws(
+            "|",
+            F.array_distinct(F.filter(F.col("tokens"), lambda x: F.lower(x).isin(gaz))),
+        )
+    )
+    parsed = d.select(F.col("row_id").alias("doc_id"), string_to_entities(s).alias("ents"))
+    return parsed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode("ents").alias("entity"),
+    )
+
+
+SQL_ENTITY_STRING_PARSE = f"""
+WITH {_SQL_TOKS},
+enc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'N'
+              ELSE array_to_string(list_distinct(list(tok) FILTER (lower(tok) IN
+                   ({_sql_in_list(GAZ_SINGLE)}))), '|') END AS s
+  FROM toks GROUP BY doc_id
+),
+norm AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(lower(regexp_replace(COALESCE(s, ''), '^N$', '')), '|'),
+                                    x -> trim(x)), x -> x <> '') AS ents
+  FROM enc
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(ents) AS entity FROM norm
+"""
+
+
+# ===========================================================================
+# 23. word-truncation quirk (T7)
+
+def q_truncate_words(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(truncate_words(F.col("text"), 10)).cast("long").alias("trunc_len"),
+    )
+
+
+SQL_TRUNCATE_WORDS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(substr(text, 1,
+            CAST(list_sum(list_transform(string_split(text, ' ')[1:10], w -> length(w)))
+                 AS INT))) AS BIGINT) AS trunc_len
+FROM documents
+"""
+
+
+# ===========================================================================
+# registry
+
+def queries() -> dict:
+    return {
+        "tokenize_stats": q_tokenize_stats,
+        "gazetteer_match": q_gazetteer_match,
+        "rule_patterns": q_rule_patterns,
+        "caps_detectors": q_caps_detectors,
+        "word_freq_topk": q_word_freq_topk,
+        "entity_f1_counts": q_entity_f1_counts,
+        "bio_tags": q_bio_tags,
+        "subtoken_merge": q_subtoken_merge,
+        "combine_dict_rule": q_combine_dict_rule,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidates": q_lsh_candidates,
+        "jaccard_pairs": q_jaccard_pairs,
+        "connected_components": q_connected_components,
+        "triples": q_triples,
+        "dedup_exact": q_dedup_exact,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "quality_stats": q_quality_stats,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "bpe_estimate": q_bpe_estimate,
+        "events_sessionize": q_events_sessionize,
+        "lineitem_agg": q_lineitem_agg,
+        "split_assign": q_split_assign,
+        "entity_string_parse": q_entity_string_parse,
+        "truncate_words": q_truncate_words,
+        # non-SQL-expressible (rows-only checks): Arrow UDF / iterative paths
+        "trie_gazetteer": q_trie_gazetteer,
+        "media_features": q_media_features,
+        "ann_bucketed": q_ann_bucketed,
+        "kg_pipeline_triples": q_kg_pipeline_triples,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "tokenize_stats": SQL_TOKENIZE_STATS,
+        "gazetteer_match": _sql_gazetteer_match(),
+        "rule_patterns": _sql_rule_patterns(),
+        "caps_detectors": SQL_CAPS_DETECTORS,
+        "word_freq_topk": SQL_WORD_FREQ_TOPK,
+        "entity_f1_counts": SQL_ENTITY_F1_COUNTS,
+        "bio_tags": SQL_BIO_TAGS,
+        "subtoken_merge": SQL_SUBTOKEN_MERGE,
+        "combine_dict_rule": _sql_combine(),
+        "minhash_signatures": SQL_MINHASH_SIGNATURES,
+        "lsh_candidates": SQL_LSH_CANDIDATES,
+        "jaccard_pairs": SQL_JACCARD_PAIRS,
+        "connected_components": SQL_CONNECTED_COMPONENTS,
+        "triples": SQL_TRIPLES,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+        "simhash": _sql_simhash(),
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+        "quality_stats": SQL_QUALITY_STATS,
+        "language_id": _sql_language_id(),
+        "fingerprint": SQL_FINGERPRINT,
+        "bpe_estimate": SQL_BPE_ESTIMATE,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "lineitem_agg": SQL_LINEITEM_AGG,
+        "split_assign": SQL_SPLIT_ASSIGN,
+        "entity_string_parse": SQL_ENTITY_STRING_PARSE,
+        "truncate_words": SQL_TRUNCATE_WORDS,
+    }
+
+
+# ===========================================================================
+# non-SQL queries (rows-only driver checks)
+
+def q_trie_gazetteer(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("row_id"), "text")
+    m = match_trie(d, GAZ_Q, text_col="text")
+    return m.select(
+        F.col("row_id").cast("long").alias("doc_id"),
+        F.col("begin").cast("long").alias("begin"),
+        "surface",
+    )
+
+
+def q_media_features(spark, sf_dir):
+    from .operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 64)
+    return extract_features(media).select(
+        "media_id", "kind", "content_sha256", "n_bytes"
+    )
+
+
+def q_ann_bucketed(spark, sf_dir):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = vecs.where(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.bucketed_ann_topk(vecs, queries_df, k=ANN_K).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_kg_pipeline_triples(spark, sf_dir):
+    """Stage 1 + vote + triples (no warehouse IO) over the documents corpus —
+    the KG pipeline shape on driver data, checked rows-only."""
+    from .corpus import load_documents
+    from .operators.aggregate import predicted_entities, weighted_vote
+    from .operators.triples import build_triples, dedup_triples
+    from .pipeline import PipelineConfig, stage1_mentions
+
+    corpus = load_documents(spark, sf_dir).where(F.col("row_id") < 500)
+    cfg = PipelineConfig(warehouse="/tmp/unused", gazetteer=GAZ_Q)
+    mentions, votes = stage1_mentions(corpus, cfg)
+    ents = predicted_entities(weighted_vote(votes), token_view(with_tokens(corpus)))
+    return dedup_triples(build_triples(corpus, ents)).select("subj", "pred", "obj", "conf")

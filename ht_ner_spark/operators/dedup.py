@@ -1,0 +1,163 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All are pure DataFrame compositions (no Python row loops):
+
+* exact:        hash-groupBy on content digest — one shuffle, partial agg
+* minhash+LSH:  word-shingle -> minhash per band -> band-bucket self-join
+* simhash:      weighted sign-bit fingerprint, portable md5-bit variant
+* n-gram Jaccard: exact verification on candidate pairs (within-row set ops)
+
+Scale notes: signatures are O(docs × bands) rows (narrow after one groupBy);
+the only join is the band-bucket self-join, guarded by the same max_block
+skew cap as entity linking (hub buckets dropped + reported). At 100 TB run
+dedup per band-bucket partition: `repartition(bucket)` colocates candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(content_md5, dup_count, keep_id, member_ids) for groups with >1 member.
+    keep_id = min id (deterministic survivor election)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def word_shingles(col, k: int = 3):
+    """array of distinct k-word shingles of lower(col) (whitespace split)."""
+    toks = F.split(F.lower(col), r"\s+")
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                toks,
+                lambda x, i: F.when(
+                    i + k <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, k))
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+    )
+
+
+def doc_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                k: int = 3, num_bands: int = 8, use_md5: bool = False) -> DataFrame:
+    """(doc_id, band, sig): minhash signature per band over word k-shingles.
+    use_md5=True is the DuckDB-portable variant (string-min of md5); the fast
+    path is xxhash64 (JVM codegen)."""
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+    banded = sh.select(
+        "doc_id", "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band"),
+    )
+    h = (
+        F.md5(F.concat_ws(":", F.col("band"), F.col("shingle")))
+        if use_md5
+        else F.xxhash64(F.col("band"), F.col("shingle")).cast("string")
+    )
+    return banded.groupBy("doc_id", "band").agg(F.min(h).alias("sig"))
+
+
+def minhash_dupe_pairs(signatures: DataFrame, min_shared_bands: int = 1,
+                       max_block: int = 200) -> DataFrame:
+    """(src, dst, shared_bands): pairs of docs sharing >= min_shared_bands
+    band signatures; oversized buckets dropped (skew guard)."""
+    sized = signatures.withColumn(
+        "bs", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+    ).where(F.col("bs") <= max_block)
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        .where(F.col("shared_bands") >= min_shared_bands)
+    )
+
+
+def ngram_jaccard_pairs(pairs_with_text: DataFrame, k: int = 3,
+                        min_jaccard: float = 0.8,
+                        a_col: str = "text_a", b_col: str = "text_b") -> DataFrame:
+    """Exact word-shingle Jaccard verify on candidate pairs (narrow)."""
+    ga, gb = word_shingles(F.col(a_col), k), word_shingles(F.col(b_col), k)
+    sim = F.size(F.array_intersect(ga, gb)) / F.size(F.array_union(ga, gb))
+    return pairs_with_text.withColumn("jaccard", sim).where(
+        F.col("jaccard") >= min_jaccard
+    )
+
+
+def simhash_bits(col, bits: int = 16, token_split: str = r"\s+"):
+    """Portable simhash: bit j = sign of sum over tokens of ±1, where a
+    token votes +1 on bit j iff the first hex char of md5(token || ':' || j)
+    is >= '8'. Returns an array<int> of bits (MSB first) — string/compare ops
+    only, bit-identical in DuckDB."""
+    toks = F.split(F.lower(col), token_split)
+    def bit(j):
+        votes = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.substring(F.md5(F.concat_ws(":", t, F.lit(str(j)))), 1, 1) >= "8",
+                1,
+            ).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0))
+    return F.array(*[bit(j) for j in range(bits)])
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): fingerprint as a '0'/'1' string (join/group key)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws("", simhash_bits(F.col(text_col), bits)).alias("simhash"),
+    )
+
+
+def simhash_near_dupes(fps: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """(src, dst, hamming): block on simhash halves (a fingerprint pair within
+    hamming distance d shares at least one of d+1 equal segments — pigeonhole),
+    then verify exact Hamming distance. Avoids the all-pairs product."""
+    n = 2  # segments; supports max_hamming <= 1 exactly, superset for 2 with verify
+    segged = fps.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("seg"),
+                         F.substring("simhash", i * 8 + 1, 8).alias("key"))
+                for i in range(n)
+            ])
+        ).alias("s"),
+    ).select("doc_id", "simhash", F.col("s.seg").alias("seg"), F.col("s.key").alias("key"))
+    a, b = segged.alias("a"), segged.alias("b")
+    cand = (
+        a.join(b, (F.col("a.seg") == F.col("b.seg")) & (F.col("a.key") == F.col("b.key")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"),
+            F.col("a.simhash").alias("h1"), F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.size(
+        F.filter(
+            F.zip_with(F.split("h1", ""), F.split("h2", ""), lambda x, y: x != y),
+            lambda d: d,
+        )
+    )
+    return cand.withColumn("hamming", ham).where(
+        F.col("hamming") <= max_hamming
+    ).select("src", "dst", "hamming")
