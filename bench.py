@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Benchmark harness for the ht_ner_spark KG-construction engine.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "pipeline": {"triples": N, "sec": S, "triples_per_sec": T},
+   "scaling": {"cores_lo": 8, "cores_hi": 32, "thrpt_lo": ..,
+               "thrpt_hi": .., "efficiency": ..}}
+
+Headline suite = representative queries from __spark_entry__.queries() over
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS],
+plus the full 4-stage pipeline (the BASELINE.json metric is triples/sec
+end-to-end).
+
+Scaling evidence (north rule: >=0.8 efficiency from N to 4N executors): the
+same pipeline job is re-run in two fresh subprocesses at local[8] and
+local[32] on identical input; efficiency = (thrpt_hi / thrpt_lo) / (hi/lo).
+Disable with SPARK_GRAFT_NO_SCALING=1 (e.g. quick iteration).
+
+Usage:
+  python bench.py                 # full bench, one JSON line on stdout
+  python bench.py --pipeline-only --cores 8 --rows 20000
+                                  # internal: one pipeline run, JSON on stdout
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# queries whose timing we headline (a spread across stages + scale ops);
+# everything else in queries() is covered by the correctness gate.
+HEADLINE = [
+    "tokenize_stats",
+    "gazetteer_match",
+    "trie_gazetteer",
+    "rule_patterns",
+    "word_freq_topk",
+    "lsh_candidates",
+    "connected_components",
+    "doc_minhash_pairs",
+    "simhash",
+    "embedding_topk",
+    "ann_bucketed",
+    "quality_stats",
+    "dedup_exact",
+]
+
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "20000"))
+
+
+def _session(cores: int):
+    from ht_ner_spark.session import get_spark
+
+    return get_spark(app_name=f"bench-local{cores}", cores=cores,
+                     shuffle_partitions=max(8, 2 * cores))
+
+
+def run_pipeline(spark, n_rows: int) -> dict:
+    """Full 4-stage pipeline over the deterministic synthetic corpus."""
+    from ht_ner_spark.corpus import synthetic_corpus
+    from ht_ner_spark.pipeline import PipelineConfig, run
+
+    corpus = synthetic_corpus(
+        spark, n_rows, partitions=spark.sparkContext.defaultParallelism * 2
+    ).cache()
+    corpus.count()  # materialize input outside the timed window
+    wh = tempfile.mkdtemp(prefix="htner_bench_")
+    try:
+        t0 = time.monotonic()
+        triples = run(spark, corpus, PipelineConfig(warehouse=wh, run_id="bench"))
+        n = triples.count()
+        sec = time.monotonic() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return {"triples": n, "sec": round(sec, 3),
+            "triples_per_sec": round(n / sec, 2) if sec > 0 else None,
+            "rows_in": n_rows}
+
+
+def pipeline_only(cores: int, rows: int) -> None:
+    spark = _session(cores)
+    out = run_pipeline(spark, rows)
+    out["cores"] = cores
+    spark.stop()
+    print(json.dumps(out))
+
+
+def scaling_run() -> dict | None:
+    """Same job, two parallelism levels, fresh JVM each (local master is
+    fixed per JVM). Stand-in for N vs 4N executors per the driver note."""
+    res = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-only",
+             "--cores", str(cores), "--rows", str(SCALING_ROWS)],
+            capture_output=True, text=True, timeout=1800,
+            env={**os.environ, "SPARK_GRAFT_NO_SCALING": "1"},
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            res[cores] = json.loads(line)
+        except (json.JSONDecodeError, IndexError):
+            sys.stderr.write(f"scaling run cores={cores} failed:\n{proc.stderr[-2000:]}\n")
+            return None
+    lo, hi = res[8], res[32]
+    if not lo.get("triples_per_sec") or not hi.get("triples_per_sec"):
+        return None
+    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (32 / 8)
+    return {"cores_lo": 8, "cores_hi": 32, "rows": SCALING_ROWS,
+            "thrpt_lo": lo["triples_per_sec"], "thrpt_hi": hi["triples_per_sec"],
+            "sec_lo": lo["sec"], "sec_hi": hi["sec"],
+            "efficiency": round(eff, 3)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+
+    spark = _session(cores)
+    qmap = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qmap.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    pipe = run_pipeline(spark, SCALING_ROWS)
+    timings["kg_pipeline"] = pipe["sec"]
+    total += pipe["sec"]
+    spark.stop()
+
+    scaling = None
+    if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
+        scaling = scaling_run()
+
+    out = {
+        "metric": "headline suite wall time (kg pipeline + operator queries)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": cores,
+        "pipeline": pipe,
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=SCALING_ROWS)
+    args = ap.parse_args()
+    if args.pipeline_only:
+        pipeline_only(args.cores, args.rows)
+    else:
+        main()
