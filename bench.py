@@ -66,14 +66,26 @@ def _session(cores: int):
                      shuffle_partitions=max(8, 2 * cores))
 
 
-def run_pipeline(spark, n_rows: int) -> dict:
-    """Full 4-stage pipeline over the deterministic synthetic corpus."""
+def run_pipeline(spark, n_rows: int, warmup_rows: int = 2000) -> dict:
+    """Full 4-stage pipeline over the deterministic synthetic corpus.
+
+    A small untimed warm-up run precedes the measurement: first-run JVM cost
+    (codegen JIT, Python worker spin-up, shuffle service init) dominates at
+    small scale and is not part of steady-state throughput (measured: the
+    same 5k-row pipeline runs 111s cold, 22s warm in one JVM)."""
     from ht_ner_spark.corpus import synthetic_corpus
     from ht_ner_spark.pipeline import PipelineConfig, run
 
-    corpus = synthetic_corpus(
-        spark, n_rows, partitions=spark.sparkContext.defaultParallelism * 2
-    ).cache()
+    par = spark.sparkContext.defaultParallelism * 2
+    if warmup_rows:
+        wwh = tempfile.mkdtemp(prefix="htner_warm_")
+        try:
+            run(spark, synthetic_corpus(spark, warmup_rows, partitions=par),
+                PipelineConfig(warehouse=wwh, run_id="warmup")).count()
+        finally:
+            shutil.rmtree(wwh, ignore_errors=True)
+
+    corpus = synthetic_corpus(spark, n_rows, partitions=par).cache()
     corpus.count()  # materialize input outside the timed window
     wh = tempfile.mkdtemp(prefix="htner_bench_")
     try:
@@ -83,6 +95,7 @@ def run_pipeline(spark, n_rows: int) -> dict:
         sec = time.monotonic() - t0
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+        corpus.unpersist()
     return {"triples": n, "sec": round(sec, 3),
             "triples_per_sec": round(n / sec, 2) if sec > 0 else None,
             "rows_in": n_rows}
@@ -96,17 +109,39 @@ def pipeline_only(cores: int, rows: int) -> None:
     print(json.dumps(out))
 
 
+def _spark_submit_bin() -> str:
+    for cand in (shutil.which("spark-submit"),):
+        if cand:
+            return cand
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
 def scaling_run() -> dict | None:
-    """Same job, two parallelism levels, fresh JVM each (local master is
-    fixed per JVM). Stand-in for N vs 4N executors per the driver note."""
+    """Same job via spark-submit --py-files (north_rule run shape), two
+    parallelism levels, fresh JVM each (local master is fixed per JVM) —
+    the sandbox stand-in for N vs 4N executors."""
+    subprocess.run(["bash", os.path.join(REPO, "scripts", "make_pyfiles.sh")],
+                   check=True, capture_output=True)
     res = {}
     for cores in (8, 32):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline-only",
-             "--cores", str(cores), "--rows", str(SCALING_ROWS)],
-            capture_output=True, text=True, timeout=1800,
-            env={**os.environ, "SPARK_GRAFT_NO_SCALING": "1"},
-        )
+        wh = tempfile.mkdtemp(prefix=f"htner_scale{cores}_")
+        cmd = [
+            _spark_submit_bin(),
+            "--master", f"local[{cores}]",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", f"spark.sql.shuffle.partitions={2 * cores}",
+            "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.memory=8g",
+            "--py-files", os.path.join(REPO, "dist", "ht_ner_spark.zip"),
+            os.path.join(REPO, "scripts", "submit_pipeline.py"),
+            "--rows", str(SCALING_ROWS), "--warehouse", wh,
+            "--run-id", f"scale{cores}",
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        shutil.rmtree(wh, ignore_errors=True)
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         try:
             res[cores] = json.loads(line)

@@ -1166,5 +1166,5 @@ def q_kg_pipeline_triples(spark, sf_dir):
     corpus = load_documents(spark, sf_dir).where(F.col("row_id") < 500)
     cfg = PipelineConfig(warehouse="/tmp/unused", gazetteer=GAZ_Q)
     mentions, votes = stage1_mentions(corpus, cfg)
-    ents = predicted_entities(weighted_vote(votes), token_view(with_tokens(corpus)))
+    ents = predicted_entities(weighted_vote(votes))  # votes carry tok
     return dedup_triples(build_triples(corpus, ents)).select("subj", "pred", "obj", "conf")

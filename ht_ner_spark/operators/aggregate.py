@@ -30,9 +30,14 @@ def weighted_vote(votes: DataFrame, lf_weights: dict[str, float] | None = None,
         )
         w = w * F.coalesce(mapping[F.col("lf_name")], F.lit(1.0))
     signed = F.when(F.col("label") == "PERSON_NAME", w).otherwise(-w)
+    aggs = [F.sum(signed).alias("score")]
+    if "tok" in votes.columns:
+        # all votes at one (row_id, pos) carry the same token text; max() is a
+        # deterministic pick that rides the same hash agg for free.
+        aggs.append(F.max("tok").alias("tok"))
     return (
         votes.groupBy("row_id", "pos")
-        .agg(F.sum(signed).alias("score"))
+        .agg(*aggs)
         .withColumn(
             "label",
             F.when(F.col("score") > threshold, F.lit("PERSON_NAME")).otherwise(
@@ -42,14 +47,22 @@ def weighted_vote(votes: DataFrame, lf_weights: dict[str, float] | None = None,
     )
 
 
-def predicted_entities(agg_labels: DataFrame, token_view: DataFrame) -> DataFrame:
+def predicted_entities(agg_labels: DataFrame,
+                       token_view: DataFrame | None = None) -> DataFrame:
     """(row_id, entities:array<string>) — lower-cased distinct token texts at
     positions voted PERSON_NAME (reference projection
     /root/reference/sweet/run_sweet.py:77-89, set semantics applied at eval,
     src/metrics.py:28-45). Rows with no entities keep an empty array; the 'N'
-    sentinel is applied only at the CSV boundary (entities_to_string)."""
+    sentinel is applied only at the CSV boundary (entities_to_string).
+
+    When ``agg_labels`` carries the voted token text (VOTES.tok), no corpus
+    re-join is needed — one hash agg keyed by row_id. The ``token_view`` join
+    path remains for callers with tok-less label frames."""
     pred = agg_labels.where(F.col("label") == "PERSON_NAME")
-    joined = pred.join(token_view, ["row_id", "pos"], "inner")
-    return joined.groupBy("row_id").agg(
+    if "tok" not in pred.columns:
+        if token_view is None:
+            raise ValueError("agg_labels has no 'tok' column; pass token_view")
+        pred = pred.join(token_view, ["row_id", "pos"], "inner")
+    return pred.groupBy("row_id").agg(
         F.array_distinct(F.collect_list(F.lower("tok"))).alias("entities")
     )

@@ -90,5 +90,6 @@ def frequency_votes(token_view: DataFrame, freq: DataFrame,
             F.explode(lf_hits).alias("lf_name"),
             F.lit("NOT_NAME").alias("label"),
             F.lit(1.0).alias("weight"),
+            "tok",
         )
     )

@@ -31,8 +31,7 @@ from pyspark.sql import functions as F
 from ..schemas import COMPONENTS
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20,
-                         checkpoint_every: int = 1) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges(src, dst) [strings] -> COMPONENTS(entity_id, component_id).
 
     component_id = min(entity_id) over the component (lexicographic min for
@@ -48,41 +47,38 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
 
     for i in range(max_iter):
         # propagate: candidate label of v = min(l(u)) over neighbors u, then
-        # min with v's own label. Two hash aggs + one shuffle join per round.
+        # min with v's own label; l_prev rides along so the convergence probe
+        # is a near-free limit(1) scan of the checkpointed frame (no join).
         nbr_min = (
             sym.join(labels.withColumnRenamed("v", "src"), "src")
             .groupBy("dst")
             .agg(F.min("l").alias("nl"))
             .withColumnRenamed("dst", "v")
         )
-        new_labels = (
+        prop = (
             labels.join(nbr_min, "v", "left")
-            .select("v", F.least(F.col("l"), F.coalesce("nl", F.col("l"))).alias("l"))
+            .select(
+                "v",
+                F.least(F.col("l"), F.coalesce("nl", F.col("l"))).alias("l"),
+                F.col("l").alias("l_prev"),
+            )
+            .localCheckpoint()  # cut lineage BEFORE the self-join below
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
-        # convergence: any label changed?
-        changed = (
-            labels.withColumnRenamed("l", "l_old")
-            .join(new_labels, "v")
-            .where(F.col("l_old") != F.col("l"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = prop.where(F.col("l") != F.col("l_prev")).limit(1).count()
+        labels = prop.select("v", "l")
         if changed == 0:
             break
-        # star contraction: also jump to the label's label (pointer doubling)
-        # — turns O(diameter) propagation into O(log diameter).
-        jumped = (
-            labels.alias("a")
-            .join(labels.alias("b"), F.col("a.l") == F.col("b.v"), "left")
+        # pointer jump (label's label — O(diameter) -> O(log diameter)); the
+        # self-join reads the checkpointed frame twice, not the full plan.
+        jump_tbl = labels.select(F.col("v").alias("jv"), F.col("l").alias("jl"))
+        labels = (
+            labels.join(jump_tbl, F.col("l") == F.col("jv"), "left")
             .select(
-                F.col("a.v").alias("v"),
-                F.least(F.col("a.l"), F.coalesce(F.col("b.l"), F.col("a.l"))).alias("l"),
+                "v",
+                F.least(F.col("l"), F.coalesce("jl", F.col("l"))).alias("l"),
             )
+            .localCheckpoint()
         )
-        labels = jumped.localCheckpoint()
 
     return labels.select(
         F.col("v").alias("entity_id"), F.col("l").alias("component_id")

@@ -1,0 +1,191 @@
+"""Fused stage-1 labeler: every LF in ONE Arrow mapInPandas corpus pass.
+
+The reference runs one full corpus pass per labeling function
+(/root/reference/sweet/run_sweet.py:52-55 — an LF loop inside a doc loop,
+each LF re-matching over the doc) and its composed Spark translation still
+scans the corpus once per LF family (gazetteer, rules, caps) plus once per
+vote projection.  The north_star instead prescribes mention detection
+"gazetteer trie + regex labelers fused with batched transformer scoring
+inside a GPU-aware mapInPandas loop": a single pass that tokenizes each row
+once and emits every mention AND every LF vote for it.
+
+At 10^12-file scale this is the difference between ~8 corpus scans + 3
+shuffles and exactly ONE scan with ZERO shuffles (the output is written
+straight to the stage-1 table; the only remaining stage-1 shuffle is the
+corpus-global frequency aggregation, which is unavoidable — it is the
+reference's own two-pass barrier, sweet/create_lfs.py:17-34).
+
+Semantics are bit-identical to the composed relational operators
+(gazetteer.match_trie/match_relational, rules.rule_mentions,
+rules.all_caps_mentions, rules.name_case_mentions, votes.*,
+antirules.frequency_votes) — enforced by tests/test_fused.py which diffs the
+two paths row-set-wise on the synthetic corpus.
+
+Frequency antirules inside the fused pass: the ranked common-word list is
+collected and broadcast when its top-k fits ``max_broadcast_vocab``
+(reference vocabularies are 10k-30k entries); above that the caller falls
+back to the relational broadcast-join form — the adaptive path is chosen in
+pipeline.stage1_mentions.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.text import TOKEN_PATTERN
+from ..schemas import MENTIONS, VOTES
+from .gazetteer import build_trie
+from .rules import RULE_PATTERNS
+
+# combined stage-1 frame: mention rows (kind='m') + vote rows (kind='v').
+# Votes reuse begin as pos and surface as tok; unused numeric fields are 0.
+S1_COMBINED = StructType(
+    [
+        StructField("kind", StringType(), False),
+        StructField("row_id", LongType(), False),
+        StructField("lf_name", StringType(), False),
+        StructField("begin", IntegerType(), False),
+        StructField("end", IntegerType(), False),
+        StructField("surface", StringType(), False),
+        StructField("label", StringType(), False),
+        StructField("base_conf", DoubleType(), False),
+        StructField("confidence", DoubleType(), False),
+        StructField("weight", DoubleType(), False),
+    ]
+)
+
+_COLS = [f.name for f in S1_COMBINED.fields]
+_TYPES = {
+    "row_id": "int64", "begin": "int32", "end": "int32",
+    "base_conf": "float64", "confidence": "float64", "weight": "float64",
+}
+
+
+def _label_row(row_id: int, toks: list[str], low: list[str], trie: dict,
+               freq_cutoffs: list[tuple[str, int]],
+               common_ranks: dict[str, int], out: list) -> None:
+    n = len(toks)
+
+    # -- gazetteer trie (PhraseMatcher(LOWER) semantics: all matches at all
+    #    positions — sweet/neat_extractors.py:159-183)
+    gaz_surfaces: set[str] = set()
+    for i in range(n):
+        node = trie
+        j = i
+        while j < n and low[j] in node:
+            node = node[low[j]]
+            j += 1
+            if "\0" in node:
+                w = node["\0"]
+                surf = " ".join(toks[i:j])
+                gaz_surfaces.add(surf)
+                out.append(("m", row_id, "dictionary", i, j, surf,
+                            "PERSON_NAME", w, w, 0.0))
+
+    # -- 27 rule patterns (neat_extractors.py:26-116; NNP = capitalized proxy)
+    rule_surfaces: dict[str, set[str]] = {}
+    for idx, (_pname, trig, conf) in enumerate(RULE_PATTERNS):
+        k = len(trig)
+        lf = f"rule{idx}"
+        for i in range(n - k):
+            if tuple(low[i:i + k]) == trig:
+                nnp = toks[i + k]
+                if nnp and nnp[0].isupper() and nnp[0].isalpha():
+                    rule_surfaces.setdefault(lf, set()).add(nnp)
+                    out.append(("m", row_id, lf, i + k, i + k + 1, nnp,
+                                "PERSON_NAME", conf, conf, 0.0))
+
+    # -- caps detectors (labeling_functions.py:76-97): position-faithful votes
+    for i in range(1, n):
+        t = toks[i]
+        if len(t) > 2 and t.isupper():
+            out.append(("m", row_id, "all_caps", i, i + 1, t,
+                        "PERSON_NAME", 0.5, 0.5, 0.0))
+            out.append(("v", row_id, "all_caps", i, i + 1, t,
+                        "PERSON_NAME", 0.0, 0.0, 1.0))
+    for i in range(1, max(n - 2, 1)):
+        t = toks[i]
+        if 2 < len(t) < 15 and t[:1].isupper() and t[:1].isalpha():
+            out.append(("m", row_id, "name_case", i, i + 1, t,
+                        "PERSON_NAME", 0.5, 0.5, 0.0))
+            out.append(("v", row_id, "name_case", i, i + 1, t,
+                        "PERSON_NAME", 0.0, 0.0, 1.0))
+
+    # -- J2 span re-projection quirk (labeling_functions.py:27-54): every
+    #    token whose EXACT text equals an extracted surface of that LF votes.
+    lf_surf = [("dictionary", gaz_surfaces)] if gaz_surfaces else []
+    lf_surf += rule_surfaces.items()
+    for lf, surfaces in lf_surf:
+        for i, t in enumerate(toks):
+            if t in surfaces:
+                out.append(("v", row_id, lf, i, i + 1, t,
+                            "PERSON_NAME", 0.0, 0.0, 1.0))
+
+    # -- frequency antirules (create_lfs.py:17-34 + labeling_functions.py:135-143)
+    if common_ranks:
+        for i, t in enumerate(toks):
+            r = common_ranks.get(t)
+            if r is not None:
+                for lf, max_rank in freq_cutoffs:
+                    if r <= max_rank:
+                        out.append(("v", row_id, lf, i, i + 1, t,
+                                    "NOT_NAME", 0.0, 0.0, 1.0))
+
+
+def fused_stage1(corpus: DataFrame, gazetteer: dict[str, float],
+                 common_ranks: dict[str, int] | None = None,
+                 freq_cutoffs: list[tuple[str, int]] | None = None,
+                 text_col: str = "content",
+                 pattern: str = TOKEN_PATTERN) -> DataFrame:
+    """corpus -> S1_COMBINED (mention + vote rows) in one Arrow pass."""
+    spark = corpus.sparkSession
+    trie_b = spark.sparkContext.broadcast(build_trie(gazetteer))
+    ranks_b = spark.sparkContext.broadcast(common_ranks or {})
+    cutoffs = freq_cutoffs or []
+    tok_re = re.compile(pattern)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        trie = trie_b.value
+        ranks = ranks_b.value
+        for pdf in batches:
+            out: list[tuple] = []
+            for row_id, text in zip(pdf["row_id"], pdf[text_col]):
+                toks = tok_re.findall(text or "")
+                _label_row(int(row_id), toks, [t.lower() for t in toks],
+                           trie, cutoffs, ranks, out)
+            yield pd.DataFrame(out, columns=_COLS).astype(_TYPES)
+
+    return corpus.select("row_id", text_col).mapInPandas(run, S1_COMBINED)
+
+
+def split_mentions(combined: DataFrame) -> DataFrame:
+    """S1_COMBINED -> MENTIONS (kind filter + column projection; pushes down
+    to the parquet scan when reading a stored combined table)."""
+    return combined.where(F.col("kind") == "m").select(
+        *[f.name for f in MENTIONS.fields]
+    )
+
+
+def split_votes(combined: DataFrame) -> DataFrame:
+    """S1_COMBINED -> VOTES (begin->pos, surface->tok)."""
+    return combined.where(F.col("kind") == "v").select(
+        "row_id",
+        F.col("begin").alias("pos"),
+        "lf_name",
+        "label",
+        "weight",
+        F.col("surface").alias("tok"),
+    )

@@ -52,13 +52,31 @@ def minhash_signatures(grams: DataFrame, num_bands: int = 8,
 
     use_md5=True -> h = md5(band || ':' || gram) (string min — identical in
     DuckDB, used by the correctness oracle); default xxhash64 (fast path)."""
-    bands = F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band")
-    g = grams.select("surface", "gram", bands)
-    if use_md5:
-        h = F.md5(F.concat_ws(":", F.col("band"), F.col("gram")))
-    else:
-        h = F.xxhash64(F.col("band"), F.col("gram")).cast("string")
-    return g.groupBy("surface", "band").agg(F.min(h).alias("sig"))
+    # ONE hash-agg shuffle keyed by surface (num_bands min-aggregates per
+    # group) instead of exploding num_bands× rows through the shuffle; the
+    # (band, sig) pairs are unpacked within-row afterwards (narrow).
+    def h(b: int):
+        if use_md5:
+            return F.md5(F.concat_ws(":", F.lit(b), F.col("gram")))
+        return F.xxhash64(F.lit(b), F.col("gram")).cast("string")
+
+    agg = grams.groupBy("surface").agg(
+        *[F.min(h(b)).alias(f"_sig{b}") for b in range(num_bands)]
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    F.col(f"_sig{b}").alias("sig"),
+                )
+                for b in range(num_bands)
+            ]
+        )
+    ).alias("bs")
+    return agg.select("surface", pairs).select(
+        "surface", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
 
 
 def lsh_candidates(signatures: DataFrame, max_block: int = 50) -> tuple[DataFrame, DataFrame]:
@@ -110,6 +128,11 @@ def link_surfaces(mentions: DataFrame, num_bands: int = 8, n: int = 3,
     surfaces = mentions.select(F.lower(F.col("surface")).alias("surface")).distinct()
     grams = surface_grams(surfaces, n=n)
     sigs = minhash_signatures(grams, num_bands=num_bands, use_md5=use_md5)
+    # materialize once: both downstream branches (candidate pairs AND the
+    # dropped-block report) read the signatures; localCheckpoint (unlike
+    # persist) is auto-released by the ContextCleaner when dereferenced, so
+    # repeated pipeline runs in one session don't accumulate cache entries.
+    sigs = sigs.localCheckpoint()
     pairs, dropped = lsh_candidates(sigs, max_block=max_block)
     edges = jaccard_verify(pairs, n=n, min_jaccard=min_jaccard)
     return edges, dropped

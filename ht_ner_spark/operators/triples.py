@@ -47,8 +47,10 @@ def build_triples(corpus: DataFrame, entities: DataFrame,
     joined = ex.join(corpus, "row_id", "inner")
     lineage = F.struct(
         F.col("repo"), F.col("path"), F.col("commit"), F.col("content_sha256"),
-        F.array(*[F.lit(s) for s in STAGE_VERSIONS]).alias("stage_versions"),
-        F.array(*[F.lit(s) for s in (lf_provenance or [])]).alias("lf_provenance"),
+        F.array(*[F.lit(s) for s in STAGE_VERSIONS]).cast("array<string>")
+        .alias("stage_versions"),
+        F.array(*[F.lit(s) for s in (lf_provenance or [])]).cast("array<string>")
+        .alias("lf_provenance"),
     )
 
     mentions_t = joined.select(

@@ -41,6 +41,7 @@ def project_mentions_to_votes(token_view: DataFrame, mentions: DataFrame,
             "lf_name",
             F.lit("PERSON_NAME").alias("label"),
             F.lit(weight).alias("weight"),
+            token_view["tok"],
         )
     )
 
@@ -86,6 +87,7 @@ def model_result_votes(token_view: DataFrame, lf_long: DataFrame,
             F.concat(F.col("lf_name"), F.lit("_model")).alias("lf_name"),
             F.lit(label).alias("label"),
             F.lit(weight).alias("weight"),
+            "tok",
         )
     )
 
@@ -100,6 +102,7 @@ def mentions_to_votes_direct(mentions: DataFrame, weight: float = 1.0) -> DataFr
         "lf_name",
         "label",
         F.lit(weight).alias("weight"),
+        F.col("surface").alias("tok"),
     )
 
 

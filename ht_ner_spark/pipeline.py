@@ -38,21 +38,81 @@ class PipelineConfig:
     warehouse: str
     run_id: str = "run0"
     gazetteer: dict[str, float] = field(default_factory=lambda: dict(DEFAULT_GAZETTEER))
-    use_trie: bool = True          # scale path; False = relational broadcast join
+    fused: bool = True             # ONE mapInPandas corpus pass for all LFs
+    use_trie: bool = True          # composed path: trie vs relational join
     vote_threshold: float = 0.0
     lsh_bands: int = 8
     lsh_min_jaccard: float = 0.5
     lsh_max_block: int = 50
     frequency_antirules: bool = True
+    # frequency top-k lists larger than this fall back from the fused
+    # broadcast-dict path to the relational broadcast-join path.
+    max_broadcast_vocab: int = 1_000_000
     cc_max_iter: int = 20
 
 
+def _frequency_inputs(corpus: DataFrame, cfg: PipelineConfig):
+    """Corpus-global frequency pass (the reference's own two-pass barrier,
+    sweet/create_lfs.py:17-34): one explode + hash agg shuffle. Returns
+    (common_ranks dict | None, freq DataFrame | None, tview | None):
+    dict when the top-k fits the broadcast budget, else the relational
+    fallback inputs."""
+    tview = token_view(with_tokens(corpus))
+    freq = ar.word_frequency(tview).cache()
+    vocab_size = freq.count()
+    max_k = max(int(vocab_size * t) for t in ar.THRESHOLDS)
+    cutoffs = [(f"freq_{t}", int(vocab_size * t)) for t in ar.THRESHOLDS]
+    if max_k <= cfg.max_broadcast_vocab:
+        ranks = {r["tok"]: r["rank"]
+                 for r in freq.where(F.col("rank") <= max_k).collect()}
+        freq.unpersist()
+        return ranks, cutoffs, None, None
+    return None, cutoffs, freq, tview
+
+
+def stage1_combined(corpus: DataFrame, cfg: PipelineConfig
+                    ) -> tuple[DataFrame, DataFrame | None]:
+    """Fused stage 1 -> (combined S1_COMBINED frame, extra relational votes
+    or None). extra votes appear only when the frequency vocabulary exceeds
+    the broadcast budget (relational join fallback)."""
+    from .operators.fused import fused_stage1
+
+    ranks, cutoffs, freq, tview = (None, [], None, None)
+    if cfg.frequency_antirules:
+        ranks, cutoffs, freq, tview = _frequency_inputs(corpus, cfg)
+    combined = fused_stage1(
+        corpus, cfg.gazetteer,
+        common_ranks=ranks, freq_cutoffs=cutoffs if ranks else [],
+    )
+    extra = None
+    if cfg.frequency_antirules and ranks is None:
+        # vocabulary too large to broadcast as a dict: relational
+        # broadcast-join fallback (one extra tokenize scan).
+        extra = ar.frequency_votes(tview, freq)
+    return combined, extra
+
+
 def stage1_mentions(corpus: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
-    """-> (mentions, votes). One tokenize pass feeds every LF."""
+    """-> (mentions, votes).
+
+    Fused path (default, the 100 TB design): corpus-global frequency agg
+    (pass 1) -> ONE mapInPandas pass emitting all mentions + votes (pass 2).
+    Composed path (oracle-checkable): relational operators over a shared
+    token view — kept for cross-validation and DuckDB parity.
+    """
     spark = corpus.sparkSession
+
+    if cfg.fused:
+        from .operators.fused import split_mentions, split_votes
+
+        combined, extra_votes = stage1_combined(corpus, cfg)
+        votes = split_votes(combined)
+        if extra_votes is not None:
+            votes = votes.unionByName(extra_votes)
+        return split_mentions(combined), votes
+
     toks = with_tokens(corpus)
     tview = token_view(toks)
-
     if cfg.use_trie:
         gaz_mentions = match_trie(corpus, cfg.gazetteer)
     else:
@@ -75,66 +135,103 @@ def stage1_mentions(corpus: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, 
     return mentions, votes
 
 
+def _observed_count(df: DataFrame, name: str):
+    """Attach an Observation so the write action itself yields the row count —
+    no separate count() job (one fewer corpus-scale pass per stage)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("n")), obs
+
+
 def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Execute (or resume) the full pipeline; returns the triples DataFrame
-    read back from the warehouse."""
+    read back from the warehouse.
+
+    Job-count discipline (local overhead AND cluster scheduler load): stage
+    row counts ride the write actions via ``df.observe`` instead of separate
+    count() jobs; completed stages are read once per run, not per stage.
+    """
     wh = cfg.warehouse
     os.makedirs(wh, exist_ok=True)
+    done = ck.completed_stages(spark, wh, cfg.run_id)
 
     # ---- stage 1
-    if not ck.stage_done(spark, wh, cfg.run_id, "s1"):
-        mentions, votes = stage1_mentions(corpus, cfg)
-        cat.write_table(mentions, wh, "mentions")
-        cat.write_table(votes, wh, "votes")
-        m = cat.read_table(spark, wh, "mentions")
+    if "s1" not in done:
+        if cfg.fused:
+            # ONE corpus pass: store the combined mention+vote frame, then
+            # split mentions/votes from the (small) stored table so neither
+            # re-runs the labeler UDF.
+            from .operators.fused import split_mentions, split_votes
+
+            corpus_in, in_obs = _observed_count(corpus, "s1_in")
+            combined, extra_votes = stage1_combined(corpus_in, cfg)
+            cat.write_table(combined, wh, "s1_combined")
+            rows_in = int(in_obs.get["n"])
+            stored = cat.read_table(spark, wh, "s1_combined")
+            votes_out = split_votes(stored)
+            if extra_votes is not None:
+                votes_out = votes_out.unionByName(extra_votes)
+            cat.write_table(split_mentions(stored), wh, "mentions")
+            cat.write_table(votes_out, wh, "votes")
+        else:
+            mentions, votes = stage1_mentions(corpus, cfg)
+            cat.write_table(mentions, wh, "mentions")
+            cat.write_table(votes, wh, "votes")
+            rows_in = 0  # composed path: input count not observed
+        # per-partition lineage over the (small) stored mentions table:
+        # one job that yields both the partition stats and the total.
+        pstats = ck.partition_stats(cat.read_table(spark, wh, "mentions")).cache()
+        rows_out = sum(r["rows_out"] for r in pstats.collect())
         ck.record_stage(spark, wh, cfg.run_id, "s1",
-                        partition_stats=ck.partition_stats(m),
-                        rows_in=corpus.count(), rows_out=m.count())
+                        partition_stats=pstats, rows_in=rows_in, rows_out=rows_out)
+        pstats.unpersist()
     mentions = cat.read_table(spark, wh, "mentions")
     votes = cat.read_table(spark, wh, "votes")
 
     # ---- aggregate votes -> per-row entities (part of stage 1 output contract)
-    if not ck.stage_done(spark, wh, cfg.run_id, "s1b"):
+    if "s1b" not in done:
         agg = weighted_vote(votes, threshold=cfg.vote_threshold)
-        ents = predicted_entities(agg, token_view(with_tokens(corpus)))
+        ents = predicted_entities(agg)  # votes carry tok: no corpus re-join
+        ents, obs = _observed_count(ents, "s1b")
         cat.write_table(ents, wh, "entities")
-        e = cat.read_table(spark, wh, "entities")
-        ck.record_stage(spark, wh, cfg.run_id, "s1b", rows_out=e.count())
+        ck.record_stage(spark, wh, cfg.run_id, "s1b", rows_out=obs.get["n"])
     entities = cat.read_table(spark, wh, "entities")
 
     # ---- stage 2
-    if not ck.stage_done(spark, wh, cfg.run_id, "s2"):
+    if "s2" not in done:
         edges, dropped = link_surfaces(
             mentions, num_bands=cfg.lsh_bands,
             min_jaccard=cfg.lsh_min_jaccard, max_block=cfg.lsh_max_block,
         )
+        edges, obs = _observed_count(edges, "s2")
         cat.write_table(edges, wh, "edges")
         n_dropped = dropped.count()
         ck.record_stage(spark, wh, cfg.run_id, "s2",
-                        rows_out=cat.read_table(spark, wh, "edges").count(),
+                        rows_out=obs.get["n"],
                         counters={"dropped_blocks": n_dropped})
     edges = cat.read_table(spark, wh, "edges")
 
     # ---- stage 3
-    if not ck.stage_done(spark, wh, cfg.run_id, "s3"):
+    if "s3" not in done:
         comps = connected_components(
             edges.where(F.col("sim") >= cfg.lsh_min_jaccard), max_iter=cfg.cc_max_iter
         )
+        comps, obs = _observed_count(comps, "s3")
         cat.write_table(comps, wh, "components")
-        ck.record_stage(spark, wh, cfg.run_id, "s3",
-                        rows_out=cat.read_table(spark, wh, "components").count())
+        ck.record_stage(spark, wh, cfg.run_id, "s3", rows_out=obs.get["n"])
     comps = cat.read_table(spark, wh, "components")
 
     # ---- stage 4
-    if not ck.stage_done(spark, wh, cfg.run_id, "s4"):
+    if "s4" not in done:
         triples = dedup_triples(build_triples(corpus, entities, comps))
         audit = sha_invariant_audit(corpus, triples)
         sha_ok = audit.limit(1).count() == 0
-        triples.repartition("pred").write.mode("overwrite").partitionBy("pred").parquet(
-            os.path.join(wh, "triples")
-        )
-        t = cat.read_table(spark, wh, "triples")
+        cat.write_table(triples.repartition("pred"), wh, "triples",
+                        partition_by=["pred"])
+        pstats = ck.partition_stats(cat.read_table(spark, wh, "triples")).cache()
+        rows_out = sum(r["rows_out"] for r in pstats.collect())
         ck.record_stage(spark, wh, cfg.run_id, "s4",
-                        partition_stats=ck.partition_stats(t),
-                        rows_out=t.count(), sha_ok=sha_ok)
+                        partition_stats=pstats, rows_out=rows_out, sha_ok=sha_ok)
+        pstats.unpersist()
     return cat.read_table(spark, wh, "triples")

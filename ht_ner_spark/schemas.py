@@ -51,6 +51,10 @@ MENTIONS = StructType(
 
 # long-format per-token LF votes (the reference's doc.spans dict,
 # /root/reference/sweet/run_sweet.py:67-70, exploded to rows).
+# ``tok`` carries the voted token's text so downstream aggregation
+# (weighted_vote -> predicted_entities) never has to re-join the corpus —
+# at 100 TB that join is a full re-tokenize + shuffle; carrying 1 string
+# per vote row is strictly cheaper.
 VOTES = StructType(
     [
         StructField("row_id", LongType(), False),
@@ -58,6 +62,7 @@ VOTES = StructType(
         StructField("lf_name", StringType(), False),
         StructField("label", StringType(), False),
         StructField("weight", DoubleType(), False),
+        StructField("tok", StringType(), False),
     ]
 )
 

@@ -62,7 +62,18 @@ def read_table(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
     cat = _iceberg_enabled(spark)
     if cat:
         return spark.read.table(f"{cat}.{name}")
-    return spark.read.parquet(os.path.join(warehouse, name))
+    path = os.path.join(warehouse, name)
+    meta_path = os.path.join(warehouse, "_meta", f"{name}.json")
+    if os.path.isfile(meta_path):
+        # the declared schema (SURVEY §1.3) makes empty tables readable —
+        # a 0-row stage output is a valid checkpointed state, and parquet
+        # cannot infer a schema from a fileless directory.
+        from pyspark.sql.types import StructType
+
+        with open(meta_path) as f:
+            schema = StructType.fromJson(json.load(f)["schema"])
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
 
 
 def table_exists(spark: SparkSession, warehouse: str, name: str) -> bool:

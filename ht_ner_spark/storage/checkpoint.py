@@ -40,6 +40,19 @@ def stage_done(spark: SparkSession, warehouse: str, run_id: str, stage: str) -> 
     )
 
 
+def completed_stages(spark: SparkSession, warehouse: str, run_id: str) -> set[str]:
+    """All completed stages for a run in ONE read — resume does a single
+    checkpoint-table scan instead of one per stage."""
+    path = _ckpt_dir(warehouse)
+    if not os.path.isdir(path):
+        return set()
+    df = spark.read.parquet(path)
+    return {
+        r["stage"]
+        for r in df.where(F.col("run_id") == run_id).select("stage").distinct().collect()
+    }
+
+
 def record_stage(
     spark: SparkSession,
     warehouse: str,

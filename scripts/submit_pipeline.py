@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the 4-stage KG-construction pipeline.
+
+Cluster usage (the production shape required by the north rule):
+
+    scripts/make_pyfiles.sh                      # builds dist/ht_ner_spark.zip
+    spark-submit --master <cluster> \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.shuffle.partitions=<2-3x total cores> \
+        --py-files dist/ht_ner_spark.zip \
+        scripts/submit_pipeline.py --corpus <iceberg-table-or-parquet-dir> \
+        --warehouse <out> --run-id <id>
+
+Sandbox scaling evidence (BASELINE.md protocol): same input, two parallelism
+levels — `--master local[8]` vs `--master local[32]` — identical bytes,
+report triples/sec at each.
+
+Prints ONE JSON line with wall time, triple count, and throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default=None,
+                    help="parquet dir or Iceberg table with corpus shape "
+                         "(repo,path,commit,lang,content); default: synthetic")
+    ap.add_argument("--rows", type=int, default=20000,
+                    help="synthetic corpus rows when --corpus is not given")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--run-id", default="submit")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--warmup-rows", type=int, default=2000,
+                    help="untimed warm-up pipeline size (JIT/codegen warm-up "
+                         "exclusion; 0 disables)")
+    args = ap.parse_args()
+
+    # session comes from spark-submit conf — this script never sets a master.
+    spark = SparkSession.builder.appName("ht-ner-kg-pipeline").getOrCreate()
+
+    from ht_ner_spark.corpus import synthetic_corpus
+    from ht_ner_spark.pipeline import PipelineConfig, run
+    from pyspark.sql import functions as F
+
+    if args.corpus:
+        df = spark.read.parquet(args.corpus)
+        if "row_id" not in df.columns:
+            df = df.withColumn(
+                "row_id",
+                F.xxhash64("repo", "path", "commit").cast("long"),
+            )
+        corpus = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    else:
+        par = spark.sparkContext.defaultParallelism * 2
+        corpus = synthetic_corpus(spark, args.rows, seed=args.seed, partitions=par)
+    corpus = corpus.cache()
+    n_in = corpus.count()  # materialize input outside the timed window
+
+    if args.warmup_rows:
+        import tempfile
+
+        wwh = tempfile.mkdtemp(prefix="htner_warm_")
+        run(spark, synthetic_corpus(spark, args.warmup_rows, seed=args.seed + 1),
+            PipelineConfig(warehouse=wwh, run_id="warmup")).count()
+
+    t0 = time.monotonic()
+    triples = run(spark, corpus, PipelineConfig(warehouse=args.warehouse,
+                                                run_id=args.run_id))
+    n = triples.count()
+    sec = time.monotonic() - t0
+
+    print(json.dumps({
+        "rows_in": n_in,
+        "triples": n,
+        "sec": round(sec, 3),
+        "triples_per_sec": round(n / sec, 2) if sec > 0 else None,
+        "cores": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
