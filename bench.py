@@ -56,7 +56,16 @@ HEADLINE = [
     "dedup_exact",
 ]
 
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "20000"))
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "600000"))
+# N and 4N task slots for the scaling-efficiency evidence. Default 2 -> 8:
+# on this 32-core box each Spark core drives a JVM task thread AND a Python
+# UDF worker, so both levels stay un-oversubscribed (local[32] would schedule
+# ~64 runnable threads on 32 cores — a single-JVM local-mode artifact, see
+# BASELINE.md). On a real cluster this pair models per-executor core scaling
+# (spark.executor.cores=2 vs 8); multi-executor scale-out multiplies JVMs.
+SCALING_CORES = tuple(
+    int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
+)
 
 
 def _session(cores: int):
@@ -124,8 +133,9 @@ def scaling_run() -> dict | None:
     the sandbox stand-in for N vs 4N executors."""
     subprocess.run(["bash", os.path.join(REPO, "scripts", "make_pyfiles.sh")],
                    check=True, capture_output=True)
+    lo_c, hi_c = SCALING_CORES
     res = {}
-    for cores in (8, 32):
+    for cores in (lo_c, hi_c):
         wh = tempfile.mkdtemp(prefix=f"htner_scale{cores}_")
         cmd = [
             _spark_submit_bin(),
@@ -148,11 +158,11 @@ def scaling_run() -> dict | None:
         except (json.JSONDecodeError, IndexError):
             sys.stderr.write(f"scaling run cores={cores} failed:\n{proc.stderr[-2000:]}\n")
             return None
-    lo, hi = res[8], res[32]
+    lo, hi = res[lo_c], res[hi_c]
     if not lo.get("triples_per_sec") or not hi.get("triples_per_sec"):
         return None
-    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (32 / 8)
-    return {"cores_lo": 8, "cores_hi": 32, "rows": SCALING_ROWS,
+    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (hi_c / lo_c)
+    return {"cores_lo": lo_c, "cores_hi": hi_c, "rows": SCALING_ROWS,
             "thrpt_lo": lo["triples_per_sec"], "thrpt_hi": hi["triples_per_sec"],
             "sec_lo": lo["sec"], "sec_hi": hi["sec"],
             "efficiency": round(eff, 3)}
@@ -179,7 +189,12 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    pipe = run_pipeline(spark, SCALING_ROWS)
+    # in-session pipeline timing (modest size; the session's core count is
+    # whatever the driver chose, which may oversubscribe JVM+Python threads —
+    # the authoritative throughput comes from the scaling runs below). The
+    # session is already warm from the query suite, so no warm-up run.
+    pipe = run_pipeline(spark, int(os.environ.get("SPARK_GRAFT_BENCH_ROWS",
+                                                  "20000")), warmup_rows=0)
     timings["kg_pipeline"] = pipe["sec"]
     total += pipe["sec"]
     spark.stop()
@@ -187,6 +202,11 @@ def main() -> None:
     scaling = None
     if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
         scaling = scaling_run()
+    if scaling:
+        # authoritative throughput: the spark-submit run at the higher
+        # parallelism with un-oversubscribed threads (BASELINE.md protocol)
+        pipe = {**pipe, "best_triples_per_sec": scaling["thrpt_hi"],
+                "best_cores": scaling["cores_hi"], "best_rows": scaling["rows"]}
 
     out = {
         "metric": "headline suite wall time (kg pipeline + operator queries)",

@@ -72,31 +72,7 @@ def _surface_variants(name: str) -> list[str]:
 
 def synthetic_rows(n_rows: int, seed: int = 42) -> list[tuple]:
     """Pure function of (seed, n_rows) -> list of corpus tuples (no Spark)."""
-    names = [n for n in DEFAULT_GAZETTEER if DEFAULT_GAZETTEER[n] >= 0.5]
-    rows = []
-    for i in range(n_rows):
-        h = int(hashlib.sha1(f"{seed}:{i}".encode()).hexdigest(), 16)
-        lang = _LANGS[i % len(_LANGS)]
-        repo = f"org{i % 7}/proj{i % 13}"
-        path = f"src/mod{i % 23}/file{i}.{_EXT[lang]}"
-        commit = hashlib.sha1(f"{seed}:commit:{i}".encode()).hexdigest()
-        filler = " ".join(_FILLER[(h >> (4 * k)) % len(_FILLER)] for k in range(8))
-        bucket = h % 10
-        name = names[h % len(names)]
-        variant = _surface_variants(name)[(h >> 8) % len(_surface_variants(name))]
-        if bucket < 6:  # ~60%: rule-context planted entity
-            tpl = _RULE_TEMPLATES[(h >> 16) % len(_RULE_TEMPLATES)]
-            body = tpl.format(NAME=variant)
-        elif bucket < 8:  # ~20%: capitalization-only entity
-            tpl = _CAPS_TEMPLATES[(h >> 16) % len(_CAPS_TEMPLATES)]
-            body = tpl.format(NAME=variant)
-        else:  # ~20%: negatives — confusable tokens / homographs, no entity
-            body = "call the main function with max val and return"
-        # hub surfaces for skew: 'Alice' appears in >10% of rows
-        hub = " Alice said ok" if h % 9 == 0 else ""
-        content = f"{filler} {body}{hub} {filler}"
-        rows.append((i, repo, path, commit, lang, content))
-    return rows
+    return synthetic_rows_range(0, n_rows, seed)
 
 
 def gold_entities(n_rows: int, seed: int = 42) -> dict[int, set[str]]:
@@ -121,14 +97,65 @@ def _with_invariant(df: DataFrame) -> DataFrame:
     return df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
 
+def synthetic_rows_range(start: int, stop: int, seed: int = 42) -> list[tuple]:
+    """synthetic_rows restricted to [start, stop) — each row depends only on
+    (seed, i), so any index range can be generated independently."""
+    names = [n for n in DEFAULT_GAZETTEER if DEFAULT_GAZETTEER[n] >= 0.5]
+    rows = []
+    for i in range(start, stop):
+        h = int(hashlib.sha1(f"{seed}:{i}".encode()).hexdigest(), 16)
+        lang = _LANGS[i % len(_LANGS)]
+        repo = f"org{i % 7}/proj{i % 13}"
+        path = f"src/mod{i % 23}/file{i}.{_EXT[lang]}"
+        commit = hashlib.sha1(f"{seed}:commit:{i}".encode()).hexdigest()
+        filler = " ".join(_FILLER[(h >> (4 * k)) % len(_FILLER)] for k in range(8))
+        bucket = h % 10
+        name = names[h % len(names)]
+        variant = _surface_variants(name)[(h >> 8) % len(_surface_variants(name))]
+        if bucket < 6:
+            tpl = _RULE_TEMPLATES[(h >> 16) % len(_RULE_TEMPLATES)]
+            body = tpl.format(NAME=variant)
+        elif bucket < 8:
+            tpl = _CAPS_TEMPLATES[(h >> 16) % len(_CAPS_TEMPLATES)]
+            body = tpl.format(NAME=variant)
+        else:
+            body = "call the main function with max val and return"
+        hub = " Alice said ok" if h % 9 == 0 else ""
+        content = f"{filler} {body}{hub} {filler}"
+        rows.append((i, repo, path, commit, lang, content))
+    return rows
+
+
 def synthetic_corpus(spark: SparkSession, n_rows: int, seed: int = 42,
                      partitions: int | None = None) -> DataFrame:
-    rows = [
-        r for r in synthetic_rows(n_rows, seed)
-    ]
-    df = spark.createDataFrame(rows, schema=[f.name for f in CORPUS.fields[:-1]])
-    if partitions:
-        df = df.repartition(partitions)
+    """Deterministic synthetic corpus. Generation is DISTRIBUTED (mapInPandas
+    over spark.range): rows are a pure function of (seed, row index), so
+    executors generate their own index ranges — no driver-side row list, no
+    pickle-serialization bottleneck at bench scale (the driver-side
+    createDataFrame of 600k rows alone took ~35 s)."""
+    import pandas as pd
+
+    par = partitions or spark.sparkContext.defaultParallelism * 2
+    cols = [f.name for f in CORPUS.fields[:-1]]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in CORPUS.fields[:-1]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            if not ids:
+                yield pd.DataFrame(columns=cols)
+                continue
+            lo, hi = int(ids[0]), int(ids[-1])
+            if hi - lo + 1 == len(ids):  # contiguous (spark.range partitions)
+                rows = synthetic_rows_range(lo, hi + 1, seed)
+            else:
+                rows = [synthetic_rows_range(int(i), int(i) + 1, seed)[0]
+                        for i in ids]
+            yield pd.DataFrame(rows, columns=cols)
+
+    df = spark.range(0, n_rows, 1, par).mapInPandas(gen, schema)
     return _with_invariant(df)
 
 

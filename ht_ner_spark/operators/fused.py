@@ -74,15 +74,30 @@ _TYPES = {
 }
 
 
+# rule-trigger index: first trigger token -> [(lf_name, trigger, conf)].
+# Scanning the corpus once per pattern is the reference's shape
+# (one spacy Matcher pass per RuleAnnotator); a dict lookup per token gets
+# identical output in one pass over the tokens.
+_TRIG_MAP: dict[str, list[tuple[str, tuple[str, ...], float]]] = {}
+for _idx, (_pname, _trig, _conf) in enumerate(RULE_PATTERNS):
+    _TRIG_MAP.setdefault(_trig[0], []).append((f"rule{_idx}", _trig, _conf))
+
+
 def _label_row(row_id: int, toks: list[str], low: list[str], trie: dict,
                freq_cutoffs: list[tuple[str, int]],
                common_ranks: dict[str, int], out: list) -> None:
     n = len(toks)
 
-    # -- gazetteer trie (PhraseMatcher(LOWER) semantics: all matches at all
-    #    positions — sweet/neat_extractors.py:159-183)
-    gaz_surfaces: set[str] = set()
+    # surface -> LFs whose J2 projection it feeds (built during extraction,
+    # applied in the single vote pass below)
+    surf_lfs: dict[str, list[str]] = {}
+
     for i in range(n):
+        t = toks[i]
+        lt = low[i]
+
+        # -- gazetteer trie (PhraseMatcher(LOWER) semantics: all matches at
+        #    all positions — sweet/neat_extractors.py:159-183)
         node = trie
         j = i
         while j < n and low[j] in node:
@@ -91,52 +106,55 @@ def _label_row(row_id: int, toks: list[str], low: list[str], trie: dict,
             if "\0" in node:
                 w = node["\0"]
                 surf = " ".join(toks[i:j])
-                gaz_surfaces.add(surf)
+                lfs = surf_lfs.setdefault(surf, [])
+                if "dictionary" not in lfs:
+                    lfs.append("dictionary")
                 out.append(("m", row_id, "dictionary", i, j, surf,
                             "PERSON_NAME", w, w, 0.0))
 
-    # -- 27 rule patterns (neat_extractors.py:26-116; NNP = capitalized proxy)
-    rule_surfaces: dict[str, set[str]] = {}
-    for idx, (_pname, trig, conf) in enumerate(RULE_PATTERNS):
-        k = len(trig)
-        lf = f"rule{idx}"
-        for i in range(n - k):
-            if tuple(low[i:i + k]) == trig:
+        # -- 27 rule patterns (neat_extractors.py:26-116; NNP = capitalized
+        #    proxy). Trigger window: i in range(n - k) in the per-pattern
+        #    form, i.e. the NNP index i+k must be < n.
+        cands = _TRIG_MAP.get(lt)
+        if cands:
+            for lf, trig, conf in cands:
+                k = len(trig)
+                if i + k >= n:
+                    continue
+                if k == 2 and low[i + 1] != trig[1]:
+                    continue
                 nnp = toks[i + k]
                 if nnp and nnp[0].isupper() and nnp[0].isalpha():
-                    rule_surfaces.setdefault(lf, set()).add(nnp)
+                    lfs = surf_lfs.setdefault(nnp, [])
+                    if lf not in lfs:
+                        lfs.append(lf)
                     out.append(("m", row_id, lf, i + k, i + k + 1, nnp,
                                 "PERSON_NAME", conf, conf, 0.0))
 
-    # -- caps detectors (labeling_functions.py:76-97): position-faithful votes
-    for i in range(1, n):
-        t = toks[i]
-        if len(t) > 2 and t.isupper():
-            out.append(("m", row_id, "all_caps", i, i + 1, t,
-                        "PERSON_NAME", 0.5, 0.5, 0.0))
-            out.append(("v", row_id, "all_caps", i, i + 1, t,
-                        "PERSON_NAME", 0.0, 0.0, 1.0))
-    for i in range(1, max(n - 2, 1)):
-        t = toks[i]
-        if 2 < len(t) < 15 and t[:1].isupper() and t[:1].isalpha():
-            out.append(("m", row_id, "name_case", i, i + 1, t,
-                        "PERSON_NAME", 0.5, 0.5, 0.0))
-            out.append(("v", row_id, "name_case", i, i + 1, t,
-                        "PERSON_NAME", 0.0, 0.0, 1.0))
+        # -- caps detectors (labeling_functions.py:76-97): position-faithful
+        if i >= 1:
+            if len(t) > 2 and t.isupper():
+                out.append(("m", row_id, "all_caps", i, i + 1, t,
+                            "PERSON_NAME", 0.5, 0.5, 0.0))
+                out.append(("v", row_id, "all_caps", i, i + 1, t,
+                            "PERSON_NAME", 0.0, 0.0, 1.0))
+            if i < n - 2 and 2 < len(t) < 15 and t[:1].isupper() and t[:1].isalpha():
+                out.append(("m", row_id, "name_case", i, i + 1, t,
+                            "PERSON_NAME", 0.5, 0.5, 0.0))
+                out.append(("v", row_id, "name_case", i, i + 1, t,
+                            "PERSON_NAME", 0.0, 0.0, 1.0))
 
     # -- J2 span re-projection quirk (labeling_functions.py:27-54): every
     #    token whose EXACT text equals an extracted surface of that LF votes.
-    lf_surf = [("dictionary", gaz_surfaces)] if gaz_surfaces else []
-    lf_surf += rule_surfaces.items()
-    for lf, surfaces in lf_surf:
-        for i, t in enumerate(toks):
-            if t in surfaces:
+    # -- frequency antirules (create_lfs.py:17-34 + labeling_functions.py:135-143)
+    for i in range(n):
+        t = toks[i]
+        lfs = surf_lfs.get(t)
+        if lfs:
+            for lf in lfs:
                 out.append(("v", row_id, lf, i, i + 1, t,
                             "PERSON_NAME", 0.0, 0.0, 1.0))
-
-    # -- frequency antirules (create_lfs.py:17-34 + labeling_functions.py:135-143)
-    if common_ranks:
-        for i, t in enumerate(toks):
+        if common_ranks:
             r = common_ranks.get(t)
             if r is not None:
                 for lf, max_rank in freq_cutoffs:

@@ -93,9 +93,10 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
 
 def write_triples(triples: DataFrame, path: str, pred_partitions: int | None = None) -> None:
     out = dedup_triples(triples)
-    out = out.repartition("pred") if pred_partitions is None else out.repartition(
-        pred_partitions, "pred"
-    )
+    # hash (pred, subj), never pred alone: with a handful of predicates a
+    # pred-only repartition caps the write at |preds| tasks (serial funnel).
+    n = pred_partitions or out.sparkSession.sparkContext.defaultParallelism * 2
+    out = out.repartition(n, "pred", "subj")
     out.write.mode("overwrite").partitionBy("pred").parquet(path)
 
 

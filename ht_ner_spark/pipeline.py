@@ -49,6 +49,11 @@ class PipelineConfig:
     # broadcast-dict path to the relational broadcast-join path.
     max_broadcast_vocab: int = 1_000_000
     cc_max_iter: int = 20
+    # vote aggregator: 'vote' = weighted majority (single groupBy);
+    # 'hmm' = distributed Baum-Welch EM (SURVEY §2.4 A3), the reference's
+    # skweak HMM analog (run_sweet.py:60-65).
+    aggregator: str = "vote"
+    hmm_iter: int = 5
 
 
 def _frequency_inputs(corpus: DataFrame, cfg: PipelineConfig):
@@ -191,11 +196,21 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFram
 
     # ---- aggregate votes -> per-row entities (part of stage 1 output contract)
     if "s1b" not in done:
-        agg = weighted_vote(votes, threshold=cfg.vote_threshold)
+        if cfg.aggregator == "hmm":
+            from .operators.hmm import hmm_decode, hmm_fit
+
+            doc_lens = with_tokens(corpus).select(
+                "row_id", F.size("tokens").alias("n_toks")
+            )
+            params = hmm_fit(votes, doc_lens, n_iter=cfg.hmm_iter)
+            agg = hmm_decode(votes, doc_lens, params)
+        else:
+            agg = weighted_vote(votes, threshold=cfg.vote_threshold)
         ents = predicted_entities(agg)  # votes carry tok: no corpus re-join
         ents, obs = _observed_count(ents, "s1b")
         cat.write_table(ents, wh, "entities")
-        ck.record_stage(spark, wh, cfg.run_id, "s1b", rows_out=obs.get["n"])
+        ck.record_stage(spark, wh, cfg.run_id, "s1b", rows_out=obs.get["n"],
+                        counters={"aggregator_hmm": 1 if cfg.aggregator == "hmm" else 0})
     entities = cat.read_table(spark, wh, "entities")
 
     # ---- stage 2
@@ -227,8 +242,14 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFram
         triples = dedup_triples(build_triples(corpus, entities, comps))
         audit = sha_invariant_audit(corpus, triples)
         sha_ok = audit.limit(1).count() == 0
-        cat.write_table(triples.repartition("pred"), wh, "triples",
-                        partition_by=["pred"])
+        # spread the write WITHIN predicates: repartition on pred alone
+        # collapses to |distinct preds| (= 3) active tasks — a serial funnel
+        # that froze write parallelism at any cluster size. Hashing (pred,
+        # subj) keeps pred-partition pruning on read (partitionBy below) while
+        # every core writes; each task emits at most |preds| files.
+        n_out = spark.sparkContext.defaultParallelism * 2
+        cat.write_table(triples.repartition(n_out, "pred", "subj"), wh,
+                        "triples", partition_by=["pred"])
         pstats = ck.partition_stats(cat.read_table(spark, wh, "triples")).cache()
         rows_out = sum(r["rows_out"] for r in pstats.collect())
         ck.record_stage(spark, wh, cfg.run_id, "s4",
