@@ -31,11 +31,20 @@ from pyspark.sql import functions as F
 from ..schemas import COMPONENTS
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         salt_k: int = 16) -> DataFrame:
     """edges(src, dst) [strings] -> COMPONENTS(entity_id, component_id).
 
     component_id = min(entity_id) over the component (lexicographic min for
     string ids — deterministic canonical alias election).
+
+    Skew (north rule "salted keys for skewed hub entities"): the neighbor-min
+    aggregation keys on ``dst`` — a hub entity with thousands of alias edges
+    concentrates on one reducer. The min-agg is algebraic, so it runs as a
+    two-level salted aggregation (operators/salt.py): partial min on
+    (dst, salt) spreads each hub over ``salt_k`` reducers, the final min
+    combines k tiny partials. ``salt_k=0`` disables (kept for the
+    salted==unsalted property test).
     """
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -49,12 +58,21 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # propagate: candidate label of v = min(l(u)) over neighbors u, then
         # min with v's own label; l_prev rides along so the convergence probe
         # is a near-free limit(1) scan of the checkpointed frame (no join).
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("v", "src"), "src")
-            .groupBy("dst")
-            .agg(F.min("l").alias("nl"))
-            .withColumnRenamed("dst", "v")
-        )
+        joined = sym.join(labels.withColumnRenamed("v", "src"), "src")
+        if salt_k and salt_k > 1:
+            from .salt import salted_min_agg
+
+            # salt by src (varies within a hub dst; l often does not)
+            nbr_min = salted_min_agg(
+                joined.select("dst", "l", "src"), key="dst", value="l",
+                k=salt_k, salt_by=["src"],
+            ).withColumnRenamed("l", "nl").withColumnRenamed("dst", "v")
+        else:
+            nbr_min = (
+                joined.groupBy("dst")
+                .agg(F.min("l").alias("nl"))
+                .withColumnRenamed("dst", "v")
+            )
         prop = (
             labels.join(nbr_min, "v", "left")
             .select(
