@@ -1418,6 +1418,106 @@ def q_token_classify(spark, sf_dir):
 
 
 # ===========================================================================
+# 31. GPT response parsing (T8, happy path — SQL-pairable), dataset union
+# (SO4), stratified k-fold (SO6), tag-run substitution (AR7, rows-only)
+
+def q_gpt_parse(spark, sf_dir):
+    from .functions.text import parse_gpt_response
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    content = F.concat(
+        F.lit("Names: "), F.coalesce(F.element_at(words, 1), F.lit("")),
+        F.lit("\nLocations: "), F.coalesce(F.element_at(words, 2), F.lit("")),
+        F.lit("\nSocial: N"),
+    )
+    p = parse_gpt_response(content)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        p["name"].alias("gpt_name"),
+        p["location"].alias("gpt_location"),
+        p["social"].alias("gpt_social"),
+    )
+
+
+SQL_GPT_PARSE = """
+WITH c AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         COALESCE(string_split(text, ' ')[1], '') AS w1,
+         COALESCE(string_split(text, ' ')[2], '') AS w2
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN replace(w1, ', ', '|') = 'N' THEN '' ELSE replace(w1, ', ', '|') END AS gpt_name,
+       CASE WHEN replace(w2, ', ', '|') = 'N' THEN '' ELSE replace(w2, ', ', '|') END AS gpt_location,
+       '' AS gpt_social
+FROM c
+"""
+
+
+def q_dataset_union(spark, sf_dir):
+    """SO4: unionByName with missing columns (src/dataset.py:799-816)."""
+    d = _docs(spark, sf_dir)
+    a = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                 F.col("lang"), F.lit("a").alias("split"))
+    b = d.select((F.col("doc_id") + 1000000).cast("long").alias("doc_id"),
+                 F.col("source"))
+    return a.unionByName(b.withColumn("split", F.lit("b")),
+                         allowMissingColumns=True).select(
+        "doc_id", "lang", "source", "split"
+    )
+
+
+SQL_DATASET_UNION = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, NULL AS source, 'a' AS split FROM documents
+UNION ALL
+SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, NULL AS lang, source, 'b' AS split FROM documents
+"""
+
+
+def q_stratified_kfold(spark, sf_dir):
+    """SO6: ntile(5) within strata, deterministic md5 order
+    (src/dataset.py:222-236 StratifiedKFold analog)."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.ntile(5).over(w).cast("long").alias("fold"),
+    )
+
+
+SQL_STRATIFIED_KFOLD = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(ntile(5) OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS fold
+FROM documents
+"""
+
+
+def q_tag_run_substitute(spark, sf_dir):
+    """AR7 (rows-only): deterministic LOC-run substitution over a tagged view
+    of the documents corpus."""
+    from .operators.augment import substitute_tag_runs
+
+    t = _doc_tokens(spark, sf_dir)
+    tagged = t.select(
+        "row_id", "tokens",
+        F.transform(
+            F.col("tokens"),
+            lambda x, i: F.when((F.length(x) > 6) & (i % 7 == 0), F.lit("B-LOC"))
+            .when((F.length(x) > 6) & (i % 7 == 1), F.lit("I-LOC"))
+            .otherwise(F.lit("O")),
+        ).alias("tags"),
+    )
+    out = substitute_tag_runs(tagged, ["Elm Street", "Baker Road", "Oak Lane"])
+    return out.select(
+        F.col("row_id").cast("long").alias("doc_id"),
+        F.size("aug_tokens").cast("long").alias("n_aug_tokens"),
+        F.size(F.filter("aug_tags", lambda x: x == "B-LOC")).cast("long").alias("n_runs"),
+    )
+
+
+# ===========================================================================
 # registry
 
 def queries() -> dict:
@@ -1457,6 +1557,10 @@ def queries() -> dict:
         "model_votes": q_model_votes,
         "entity_setops": q_entity_setops,
         "containment_dedup": q_containment_dedup,
+        "gpt_parse": q_gpt_parse,
+        "dataset_union": q_dataset_union,
+        "stratified_kfold": q_stratified_kfold,
+        "tag_run_substitute": q_tag_run_substitute,
         # rows-only (no SQL oracle possible):
         "trie_gazetteer": q_trie_gazetteer,
         "media_features": q_media_features,
@@ -1503,6 +1607,9 @@ def oracle_sql() -> dict:
         "model_votes": _sql_model_votes(),
         "entity_setops": SQL_ENTITY_SETOPS,
         "containment_dedup": SQL_CONTAINMENT_DEDUP,
+        "gpt_parse": SQL_GPT_PARSE,
+        "dataset_union": SQL_DATASET_UNION,
+        "stratified_kfold": SQL_STRATIFIED_KFOLD,
     }
 
 

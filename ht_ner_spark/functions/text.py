@@ -148,3 +148,67 @@ def truncate_words(col: Column, n_words: int = 2500) -> Column:
 def strip_subword_marker(col: Column) -> Column:
     """T9: strip HF 'Ġ'/'▁' markers (neat_disambiguation.py:63-66)."""
     return F.regexp_replace(col, "^[Ġ▁]+", "")
+
+
+def _gpt_clean(c: Column, header: str) -> Column:
+    """strip() -> remove header -> '\\n'->'|' -> ', '->'|' -> ^N$->''
+    (/root/reference/src/openai_infer.py:46-70, literal replace-all order)."""
+    c = F.regexp_replace(c, r"^\s+|\s+$", "")
+    c = F.replace(c, F.lit(header), F.lit(""))
+    c = F.replace(c, F.lit("\n"), F.lit("|"))
+    c = F.replace(c, F.lit(", "), F.lit("|"))
+    return F.when(c == "N", F.lit("")).otherwise(c)
+
+
+def parse_gpt_response(col: Column | str) -> Column:
+    """T8: parse a 'Names: ... Locations: ... Social: ...' response into
+    struct<name,location,social> (/root/reference/src/openai_infer.py:36-101).
+
+    Happy path: exactly one 'Locations: ' then one 'Social: ' split; any
+    other shape falls back to the reference's line-wise accumulator with its
+    break-on-unknown-line and per-line ^N$ reset quirks (implemented as an
+    F.aggregate fold over the lines — sequential semantics, column-only)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+
+    loc_parts = F.split(c, F.lit("Locations: "), -1)
+    happy1 = F.size(loc_parts) == 2
+    name_part = F.element_at(loc_parts, 1)
+    rest = F.element_at(loc_parts, 2)
+    soc_parts = F.split(rest, F.lit("Social: "), -1)
+    happy = happy1 & (F.size(soc_parts) == 2)
+    h_name = _gpt_clean(name_part, "Names: ")
+    h_loc = _gpt_clean(F.element_at(soc_parts, 1), "Locations: ")
+    h_soc = _gpt_clean(F.element_at(soc_parts, 2), "Social: ")
+
+    # fallback fold (openai_infer.py:73-101): acc = (name, loc, soc, stopped)
+    lines = F.split(c, F.lit("\n"), -1)
+    zero = F.struct(
+        F.lit("").alias("n"), F.lit("").alias("l"), F.lit("").alias("s"),
+        F.lit(False).alias("stop"),
+    )
+
+    def step(acc, line):
+        has = lambda h: F.contains(line, F.lit(h))
+        strip_h = lambda h: F.replace(line, F.lit(h), F.lit(""))
+        n1 = F.when(has("Names: "), F.concat(acc["n"], strip_h("Names: "))).otherwise(acc["n"])
+        l1 = F.when(~has("Names: ") & has("Locations: "),
+                    F.concat(acc["l"], strip_h("Locations: "))).otherwise(acc["l"])
+        s1 = F.when(~has("Names: ") & ~has("Locations: ") & has("Social: "),
+                    F.concat(acc["s"], strip_h("Social: "))).otherwise(acc["s"])
+        unknown = ~has("Names: ") & ~has("Locations: ") & ~has("Social: ") & (line != "")
+        # per-line ^N$ reset (:96-101) — skipped for the breaking line
+        n2 = F.when(~unknown & (n1 == "N"), F.lit("")).otherwise(n1)
+        l2 = F.when(~unknown & (l1 == "N"), F.lit("")).otherwise(l1)
+        s2 = F.when(~unknown & (s1 == "N"), F.lit("")).otherwise(s1)
+        return F.when(acc["stop"], acc).otherwise(
+            F.struct(n2.alias("n"), l2.alias("l"), s2.alias("s"),
+                     unknown.alias("stop"))
+        )
+
+    folded = F.aggregate(lines, zero, step)
+
+    return F.struct(
+        F.when(happy, h_name).otherwise(folded["n"]).alias("name"),
+        F.when(happy, h_loc).otherwise(folded["l"]).alias("location"),
+        F.when(happy, h_soc).otherwise(folded["s"]).alias("social"),
+    )
