@@ -103,7 +103,8 @@ FROM documents
 
 def q_gazetteer_match(spark, sf_dir):
     gaz = gazetteer_df(spark, GAZ_Q)
-    m = match_relational(_doc_tokens(spark, sf_dir), gaz)
+    m = match_relational(_doc_tokens(spark, sf_dir), gaz,
+                         lengths=sorted({len(k.split()) for k in GAZ_Q}))
     return m.select(
         F.col("row_id").cast("long").alias("doc_id"),
         F.col("begin").cast("long").alias("begin"),
@@ -1070,7 +1071,8 @@ def q_fill_mask_score(spark, sf_dir):
     corpus = _corpus_shape(spark, sf_dir)
     gaz = gazetteer_df(spark, GAZ_SINGLE)
     toks = with_tokens(corpus)
-    mentions = match_relational(toks, gaz)
+    mentions = match_relational(toks, gaz,
+                                lengths=sorted({len(k.split()) for k in GAZ_SINGLE}))
     scored = score_mentions(mentions, corpus)
     return scored.select(
         F.col("row_id").cast("long").alias("doc_id"),

@@ -45,15 +45,20 @@ def gazetteer_df(spark: SparkSession, weights: dict[str, float]) -> DataFrame:
 
 
 def match_relational(tokens_df: DataFrame, gaz: DataFrame,
-                     lf_name: str = LF_NAME) -> DataFrame:
+                     lf_name: str = LF_NAME,
+                     lengths: list[int] | None = None) -> DataFrame:
     """Broadcast-join gazetteer match -> MENTIONS rows.
 
     For each phrase length n present in the gazetteer, build within-row
     n-grams (i, concat of tokens[i..i+n)) and broadcast-join on the lowered
     surface. Catalyst plan: Project/Generate (narrow) -> BroadcastHashJoin —
     no shuffle, scales linearly with corpus size.
+
+    ``lengths``: distinct phrase lengths, when the caller knows them (it
+    built the gazetteer) — avoids a blocking collect() job per call.
     """
-    lengths = [r[0] for r in gaz.select("n_toks").distinct().collect()]
+    if lengths is None:
+        lengths = [r[0] for r in gaz.select("n_toks").distinct().collect()]
     out = None
     for n in sorted(lengths):
         grams = tokens_df.select(

@@ -121,7 +121,10 @@ def stage1_mentions(corpus: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, 
     if cfg.use_trie:
         gaz_mentions = match_trie(corpus, cfg.gazetteer)
     else:
-        gaz_mentions = match_relational(toks, gazetteer_df(spark, cfg.gazetteer))
+        gaz_mentions = match_relational(
+            toks, gazetteer_df(spark, cfg.gazetteer),
+            lengths=sorted({len(k.split()) for k in cfg.gazetteer}),
+        )
     rule_ments = ru.rule_mentions(tview)
     caps = ru.all_caps_mentions(tview)
     name_case = ru.name_case_mentions(tview)
