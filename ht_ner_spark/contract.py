@@ -1520,6 +1520,96 @@ def q_tag_run_substitute(spark, sf_dir):
 
 
 # ===========================================================================
+# 32. partial (substring) F1 + ad-level IoU metrics (neat_metrics extras)
+
+def _truth_pred_cased(spark, sf_dir):
+    """truth keeps ORIGINAL case (Partial_F1 quirk: truth is not lowered),
+    pred is multi-word strings to exercise the word-split."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_distinct(F.slice(words, 1, 3)).alias("truth"),
+        F.array(F.concat_ws(" ", F.slice(words, 2, 2)),
+                F.coalesce(F.element_at(words, 5), F.lit(""))).alias("pred"),
+    )
+
+
+def q_partial_f1(spark, sf_dir):
+    from .operators.metrics import partial_f1_counts
+
+    tp = _truth_pred_cased(spark, sf_dir)
+    out = partial_f1_counts(tp, "truth", "pred")
+    return out.select("doc_id", "tp", "fp", "fn")
+
+
+SQL_PARTIAL_F1 = r"""
+WITH tp0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_distinct(string_split(text, ' ')[1:3]) AS truth,
+         [array_to_string(string_split(text, ' ')[2:3], ' '),
+          COALESCE(string_split(text, ' ')[5], '')] AS pred
+  FROM documents
+),
+w AS (
+  SELECT doc_id, list_distinct(truth) AS truth,
+         list_distinct(flatten(list_transform(pred,
+             e -> list_filter(string_split_regex(lower(e), '\s+'), x -> x <> '')))) AS pw
+  FROM tp0
+)
+SELECT doc_id,
+  CAST(len(list_filter(pw, i -> len(list_filter(truth,
+       j -> position(i IN j) > 0 OR position(j IN i) > 0)) > 0)) AS BIGINT) AS tp,
+  CAST(len(pw) - len(list_filter(pw, i -> len(list_filter(truth,
+       j -> position(i IN j) > 0 OR position(j IN i) > 0)) > 0)) AS BIGINT) AS fp,
+  CAST(len(list_filter(truth, i -> len(list_filter(pw,
+       j -> position(i IN j) > 0 OR position(j IN i) > 0)) = 0)) AS BIGINT) AS fn
+FROM w
+"""
+
+
+def q_ad_level(spark, sf_dir):
+    from .operators.metrics import ad_level_counts
+
+    tp = _truth_pred_cased(spark, sf_dir)
+    out = ad_level_counts(tp, "truth", "pred")
+    return out.select("doc_id", "tp", "fp", "fn")
+
+
+SQL_AD_LEVEL = r"""
+WITH tp0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_distinct(string_split(text, ' ')[1:3]) AS truth0,
+         [array_to_string(string_split(text, ' ')[2:3], ' '),
+          COALESCE(string_split(text, ' ')[5], '')] AS pred0
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(truth0, x -> lower(x))) AS truth,
+         list_distinct(list_filter(flatten(list_transform(pred0,
+             e -> string_split_regex(lower(e), '\s+'))), x -> x <> '')) AS pred
+  FROM tp0
+),
+i AS (
+  SELECT doc_id, truth, pred,
+         len(list_intersect(pred, truth)) AS ninter,
+         len(list_distinct(list_concat(pred, truth))) AS nunion
+  FROM w
+)
+SELECT doc_id,
+  CAST(CASE WHEN len(truth) > 0 AND len(pred) = 0 THEN 0
+            WHEN len(truth) = 0 AND len(pred) = 0 THEN 0
+            WHEN ninter >= 0.5 * nunion THEN 1 ELSE 0 END AS BIGINT) AS tp,
+  CAST(CASE WHEN len(truth) > 0 AND len(pred) = 0 THEN 0
+            WHEN len(truth) = 0 AND len(pred) = 0 THEN 0
+            WHEN ninter >= 0.5 * nunion THEN 0 ELSE 1 END AS BIGINT) AS fp,
+  CAST(CASE WHEN len(truth) > 0 AND len(pred) = 0 THEN 1 ELSE 0 END AS BIGINT) AS fn
+FROM i
+"""
+
+
+# ===========================================================================
 # registry
 
 def queries() -> dict:
@@ -1563,6 +1653,8 @@ def queries() -> dict:
         "dataset_union": q_dataset_union,
         "stratified_kfold": q_stratified_kfold,
         "tag_run_substitute": q_tag_run_substitute,
+        "partial_f1": q_partial_f1,
+        "ad_level_iou": q_ad_level,
         # rows-only (no SQL oracle possible):
         "trie_gazetteer": q_trie_gazetteer,
         "media_features": q_media_features,
@@ -1612,6 +1704,8 @@ def oracle_sql() -> dict:
         "gpt_parse": SQL_GPT_PARSE,
         "dataset_union": SQL_DATASET_UNION,
         "stratified_kfold": SQL_STRATIFIED_KFOLD,
+        "partial_f1": SQL_PARTIAL_F1,
+        "ad_level_iou": SQL_AD_LEVEL,
     }
 
 

@@ -94,3 +94,76 @@ def f1_scores(df: DataFrame, truth_col: str, pred_col: str,
         out[f"{lvl}_recall"] = rec
         out[f"{lvl}_f1"] = 2 * prec * rec / (prec + rec)
     return out
+
+
+def partial_f1_counts(df: DataFrame, truth_col: str, pred_col: str) -> DataFrame:
+    """Partial (substring-tolerant) P/R counts — semantics of
+    /root/reference/src/neat_metrics.py:94-123 ``Partial_F1``:
+
+    * pred entities are split into WORDS and lower-cased (set);
+    * truth entities kept as-is (set; NOT lower-cased — reference quirk);
+    * a pred word is a TP iff it is a substring of, or contains, ANY truth
+      entity; else FP; a truth entity with no such pred word is an FN.
+
+    Input columns are array<string>; output per-row (tp, fp, fn) ready for
+    a global sum (one hash agg)."""
+    # python str.split() drops empty fragments — filter after the regex split
+    pred_words = F.array_distinct(
+        F.filter(
+            F.flatten(
+                F.transform(F.col(pred_col), lambda e: F.split(F.lower(e), r"\s+"))
+            ),
+            lambda x: x != "",
+        )
+    )
+    truth = F.array_distinct(F.col(truth_col))
+    matches = lambda i, j: (F.instr(j, i) > 0) | (F.instr(i, j) > 0)  # noqa: E731
+    tp = F.size(F.filter(pred_words, lambda i: F.exists(truth, lambda j: matches(i, j))))
+    fp = F.size(pred_words) - tp
+    fn = F.size(
+        F.filter(truth, lambda i: ~F.exists(pred_words, lambda j: matches(i, j)))
+    )
+    return df.select(
+        "*",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+    )
+
+
+def ad_level_counts(df: DataFrame, truth_col: str, pred_col: str,
+                    split_into_words: bool = True) -> DataFrame:
+    """Ad-level (per-row) IoU>=0.5 classification — semantics of
+    /root/reference/src/neat_metrics.py:136-161 ``ad_level`` with
+    SPLIT_INTO_WORDS=True (:7): pred split into lower words, truth lowered;
+    FN when truth nonempty and pred empty; TN when both empty;
+    else TP iff |∩|/|∪| >= 0.5 on the sets, else FP."""
+    if split_into_words:
+        pred = F.array_distinct(
+            F.filter(
+                F.flatten(
+                    F.transform(F.col(pred_col), lambda e: F.split(F.lower(e), r"\s+"))
+                ),
+                lambda x: x != "",
+            )
+        )
+        truth = F.array_distinct(F.transform(F.col(truth_col), F.lower))
+    else:
+        pred = F.array_distinct(F.transform(F.col(pred_col), lambda e: F.trim(F.lower(e))))
+        truth = F.array_distinct(F.transform(F.col(truth_col), lambda e: F.trim(F.lower(e))))
+    inter = F.size(F.array_intersect(pred, truth))
+    union = F.size(F.array_union(pred, truth))
+    iou = inter / union
+    tp = F.when((F.size(truth) > 0) | (F.size(pred) > 0),
+                F.when((F.size(truth) > 0) & (F.size(pred) == 0), 0)
+                .when(iou >= 0.5, 1).otherwise(0)).otherwise(0)
+    fp = F.when((F.size(truth) > 0) & (F.size(pred) == 0), 0).when(
+        ((F.size(truth) > 0) | (F.size(pred) > 0)) & (iou < 0.5), 1
+    ).otherwise(0)
+    fn = F.when((F.size(truth) > 0) & (F.size(pred) == 0), 1).otherwise(0)
+    return df.select(
+        "*",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+    )
