@@ -58,6 +58,34 @@ def write_table(
         json.dump(meta, f)
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (co-located joins): two tables bucketed the
+    same way join WITHOUT a shuffle — the join key distribution is baked
+    into the file layout. The 100 TB pattern for repeatedly-joined tables
+    (mentions ⋈ edges by surface, corpus ⋈ entities by row_id): pay one
+    write-side distribution, skip the Exchange on EVERY later join
+    (tests/test_bucketing.py asserts the plan is Exchange-free).
+
+    Uses the session catalog (`saveAsTable` — parquet bucketing needs a
+    table identity, not a bare path); on Iceberg the equivalent is a
+    `bucket(n, col)` partition transform in write_table."""
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    return spark.read.table(name)
+
+
 def read_table(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
     cat = _iceberg_enabled(spark)
     if cat:

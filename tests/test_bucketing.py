@@ -1,0 +1,42 @@
+"""Bucketed co-located joins: same-bucketed tables must join with NO
+shuffle Exchange (the write-side distribution replaces the join-time one)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ht_ner_spark.storage.catalog import read_bucketed, write_bucketed
+
+
+@pytest.fixture()
+def bucketed_pair(spark, tmp_path):
+    # spark.sql.warehouse.dir is static per session; managed test tables use
+    # unique names in the default warehouse and are dropped on teardown.
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("x")
+    )
+    b = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("y")
+    )
+    write_bucketed(a, "bk_a", ["k"], 8, sort_cols=["k"])
+    write_bucketed(b, "bk_b", ["k"], 8, sort_cols=["k"])
+    yield "bk_a", "bk_b"
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
+    na, nb = bucketed_pair
+    # disable broadcast so the join strategy must be SMJ — the interesting case
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, na).join(read_bucketed(spark, nb), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert j.count() == 500
+        # correctness vs plain join
+        got = {(r["k"], r["x"], r["y"]) for r in j.collect()}
+        assert got == {(i, i * 2, i * 3) for i in range(500)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
