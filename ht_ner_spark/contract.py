@@ -534,7 +534,7 @@ def q_jaccard_pairs(spark, sf_dir):
     grams = surface_grams(_q_surfaces(spark, sf_dir), n=3)
     sig = minhash_signatures(grams, num_bands=LSH_BANDS, use_md5=True)
     pairs, _ = lsh_candidates(sig, max_block=50)
-    return jaccard_verify(pairs, n=3, min_jaccard=0.4).select(
+    return jaccard_verify(pairs, n=3, min_jaccard=0.1).select(
         "src", "dst", F.round("sim", 6).alias("sim")
     )
 
@@ -565,7 +565,7 @@ SELECT c.src, c.dst,
              / len(list_distinct(ga.gs || gb.gs)), 6) AS sim
 FROM cand c JOIN gsets ga ON ga.surface = c.src JOIN gsets gb ON gb.surface = c.dst
 WHERE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
-      / len(list_distinct(ga.gs || gb.gs)) >= 0.4
+      / len(list_distinct(ga.gs || gb.gs)) >= 0.1
 """
 
 
