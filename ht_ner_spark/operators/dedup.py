@@ -58,16 +58,30 @@ def doc_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     path is xxhash64 (JVM codegen)."""
     sh = df.select(F.col(id_col).alias("doc_id"),
                    F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
-    banded = sh.select(
-        "doc_id", "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band"),
+
+    # ONE hash-agg shuffle keyed by doc_id with num_bands min-aggregates,
+    # instead of exploding num_bands× rows through the shuffle (same rewrite
+    # as linking.minhash_signatures); (band, sig) unpacked within-row after.
+    def h(b: int):
+        if use_md5:
+            return F.md5(F.concat_ws(":", F.lit(b), F.col("shingle")))
+        return F.xxhash64(F.lit(b), F.col("shingle")).cast("string")
+
+    agg = sh.groupBy("doc_id").agg(
+        *[F.min(h(b)).alias(f"_sig{b}") for b in range(num_bands)]
     )
-    h = (
-        F.md5(F.concat_ws(":", F.col("band"), F.col("shingle")))
-        if use_md5
-        else F.xxhash64(F.col("band"), F.col("shingle")).cast("string")
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).cast("int").alias("band"),
+                         F.col(f"_sig{b}").alias("sig"))
+                for b in range(num_bands)
+            ]
+        )
+    ).alias("bs")
+    return agg.select("doc_id", pairs).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    return banded.groupBy("doc_id", "band").agg(F.min(h).alias("sig"))
 
 
 def minhash_dupe_pairs(signatures: DataFrame, min_shared_bands: int = 1,

@@ -63,7 +63,21 @@ def _frequency_inputs(corpus: DataFrame, cfg: PipelineConfig):
     dict when the top-k fits the broadcast budget, else the relational
     fallback inputs."""
     tview = token_view(with_tokens(corpus))
-    freq = ar.word_frequency(tview).cache()
+    freq = ar.word_frequency(tview)
+    # ONE job: pull up to budget+1 ranked rows. If the whole vocabulary fits,
+    # vocab_size = len(rows) and the top-k dict comes straight from them —
+    # no separate count() job (serial driver time matters: it is the
+    # non-scaling floor in the N-vs-4N measurement, BASELINE.md).
+    budget = cfg.max_broadcast_vocab
+    head = freq.orderBy("rank").limit(budget + 1).collect()
+    if len(head) <= budget:
+        vocab_size = len(head)
+        max_k = max(int(vocab_size * t) for t in ar.THRESHOLDS)
+        cutoffs = [(f"freq_{t}", int(vocab_size * t)) for t in ar.THRESHOLDS]
+        ranks = {r["tok"]: r["rank"] for r in head if r["rank"] <= max_k}
+        return ranks, cutoffs, None, None
+    # oversized vocabulary: relational fallback (extra count job, rare path)
+    freq = freq.cache()
     vocab_size = freq.count()
     max_k = max(int(vocab_size * t) for t in ar.THRESHOLDS)
     cutoffs = [(f"freq_{t}", int(vocab_size * t)) for t in ar.THRESHOLDS]
@@ -143,6 +157,28 @@ def stage1_mentions(corpus: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, 
     return mentions, votes
 
 
+def _read_mentions(spark: SparkSession, wh: str, cfg: PipelineConfig) -> DataFrame:
+    """Stage-1 mentions: a kind-filtered projection of the stored combined
+    table on the fused path (parquet pushdown); falls back to a physical
+    ``mentions`` table (composed path, or a warehouse written by one)."""
+    if cfg.fused and cat.table_exists(spark, wh, "s1_combined"):
+        from .operators.fused import split_mentions
+
+        return split_mentions(cat.read_table(spark, wh, "s1_combined"))
+    return cat.read_table(spark, wh, "mentions")
+
+
+def _read_votes(spark: SparkSession, wh: str, cfg: PipelineConfig) -> DataFrame:
+    if cfg.fused and cat.table_exists(spark, wh, "s1_combined"):
+        from .operators.fused import split_votes
+
+        votes = split_votes(cat.read_table(spark, wh, "s1_combined"))
+        if cat.table_exists(spark, wh, "votes_extra"):
+            votes = votes.unionByName(cat.read_table(spark, wh, "votes_extra"))
+        return votes
+    return cat.read_table(spark, wh, "votes")
+
+
 def _observed_count(df: DataFrame, name: str):
     """Attach an Observation so the write action itself yields the row count —
     no separate count() job (one fewer corpus-scale pass per stage)."""
@@ -165,39 +201,44 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFram
     done = ck.completed_stages(spark, wh, cfg.run_id)
 
     # ---- stage 1
+    mentions = votes = None
     if "s1" not in done:
         if cfg.fused:
-            # ONE corpus pass: store the combined mention+vote frame, then
-            # split mentions/votes from the (small) stored table so neither
-            # re-runs the labeler UDF.
-            from .operators.fused import split_mentions, split_votes
-
+            # ONE corpus pass, ONE write: the combined mention+vote frame IS
+            # the stage-1 table; mentions/votes are kind-filtered projections
+            # of the stored copy. partitionBy(kind) prunes those reads at
+            # directory level (no repartition — each task writes both kind
+            # dirs, write parallelism intact). NOTE: a localCheckpoint of
+            # this frame was tried and is 4x SLOWER — 26M rows pinned as
+            # deserialized JVM objects blow the heap; the columnar zstd
+            # round-trip through the stored table is the cheap path.
             corpus_in, in_obs = _observed_count(corpus, "s1_in")
             combined, extra_votes = stage1_combined(corpus_in, cfg)
-            cat.write_table(combined, wh, "s1_combined")
+            cat.write_table(combined, wh, "s1_combined", partition_by=["kind"])
             rows_in = int(in_obs.get["n"])
-            stored = cat.read_table(spark, wh, "s1_combined")
-            votes_out = split_votes(stored)
             if extra_votes is not None:
-                votes_out = votes_out.unionByName(extra_votes)
-            cat.write_table(split_mentions(stored), wh, "mentions")
-            cat.write_table(votes_out, wh, "votes")
+                cat.write_table(extra_votes, wh, "votes_extra")
+            mentions = _read_mentions(spark, wh, cfg)
+            votes = _read_votes(spark, wh, cfg)
         else:
             mentions, votes = stage1_mentions(corpus, cfg)
             cat.write_table(mentions, wh, "mentions")
             cat.write_table(votes, wh, "votes")
             rows_in = 0  # composed path: input count not observed
-        # per-partition lineage over the (small) stored mentions table:
-        # one job that yields both the partition stats and the total.
-        pstats = ck.partition_stats(cat.read_table(spark, wh, "mentions")).cache()
+            mentions = cat.read_table(spark, wh, "mentions")
+            votes = cat.read_table(spark, wh, "votes")
+        # per-partition lineage: one small agg over the scratch copy.
+        pstats = ck.partition_stats(mentions).cache()
         rows_out = sum(r["rows_out"] for r in pstats.collect())
         ck.record_stage(spark, wh, cfg.run_id, "s1",
                         partition_stats=pstats, rows_in=rows_in, rows_out=rows_out)
         pstats.unpersist()
-    mentions = cat.read_table(spark, wh, "mentions")
-    votes = cat.read_table(spark, wh, "votes")
+    if mentions is None:
+        mentions = _read_mentions(spark, wh, cfg)
+        votes = _read_votes(spark, wh, cfg)
 
     # ---- aggregate votes -> per-row entities (part of stage 1 output contract)
+    entities = None
     if "s1b" not in done:
         if cfg.aggregator == "hmm":
             from .operators.hmm import hmm_decode, hmm_fit
@@ -214,7 +255,8 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFram
         cat.write_table(ents, wh, "entities")
         ck.record_stage(spark, wh, cfg.run_id, "s1b", rows_out=obs.get["n"],
                         counters={"aggregator_hmm": 1 if cfg.aggregator == "hmm" else 0})
-    entities = cat.read_table(spark, wh, "entities")
+    if entities is None:
+        entities = cat.read_table(spark, wh, "entities")
 
     # ---- stage 2
     if "s2" not in done:
@@ -242,15 +284,15 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFram
 
     # ---- stage 4
     if "s4" not in done:
-        triples = dedup_triples(build_triples(corpus, entities, comps))
-        audit = sha_invariant_audit(corpus, triples)
-        sha_ok = audit.limit(1).count() == 0
         # spread the write WITHIN predicates: repartition on pred alone
         # collapses to |distinct preds| (= 3) active tasks — a serial funnel
         # that froze write parallelism at any cluster size. Hashing (pred,
         # subj) keeps pred-partition pruning on read (partitionBy below) while
         # every core writes; each task emits at most |preds| files.
         n_out = spark.sparkContext.defaultParallelism * 2
+        triples = dedup_triples(build_triples(corpus, entities, comps))
+        audit = sha_invariant_audit(corpus, triples)
+        sha_ok = audit.limit(1).count() == 0
         cat.write_table(triples.repartition(n_out, "pred", "subj"), wh,
                         "triples", partition_by=["pred"])
         pstats = ck.partition_stats(cat.read_table(spark, wh, "triples")).cache()

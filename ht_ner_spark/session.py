@@ -49,6 +49,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Parquet scans: vectorized reader + pushdown are defaults; keep
         # session timezone fixed for determinism.
+        # zstd beats snappy ~2x on text-heavy tables: stage writes here are
+        # bound by a ~40 MB/s virtio disk, so trading (abundant) CPU for
+        # (scarce) write bandwidth is a straight win (BASELINE.md).
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Scratch I/O (shuffle blocks, localCheckpoint RDDs) on tmpfs: this
+        # sandbox's virtio disk sustains only ~20-50 MB/s with co-tenant
+        # noise, while a real cluster node has local NVMe for exactly this
+        # traffic. Warehouse/table writes still go to the real filesystem.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS",
+                                                  "/dev/shm/spark-local")
+                if os.path.isdir("/dev/shm") else "/tmp")
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -29,28 +29,28 @@ def _ckpt_dir(warehouse: str) -> str:
     return os.path.join(warehouse, CHECKPOINT_TABLE)
 
 
-def stage_done(spark: SparkSession, warehouse: str, run_id: str, stage: str) -> bool:
-    path = _ckpt_dir(warehouse)
-    if not os.path.isdir(path):
-        return False
-    df = spark.read.parquet(path)
-    return (
-        df.where((F.col("run_id") == run_id) & (F.col("stage") == stage)).limit(1).count()
-        > 0
-    )
+def _read_stages_arrow(warehouse: str, run_id: str) -> set[str]:
+    """Driver-side checkpoint scan (pyarrow, no Spark job): the table is a
+    handful of metadata rows; scheduling a cluster job to read it is pure
+    serial overhead on every resume check."""
+    import pyarrow.dataset as ds
 
-
-def completed_stages(spark: SparkSession, warehouse: str, run_id: str) -> set[str]:
-    """All completed stages for a run in ONE read — resume does a single
-    checkpoint-table scan instead of one per stage."""
     path = _ckpt_dir(warehouse)
     if not os.path.isdir(path):
         return set()
-    df = spark.read.parquet(path)
-    return {
-        r["stage"]
-        for r in df.where(F.col("run_id") == run_id).select("stage").distinct().collect()
-    }
+    data = ds.dataset(path, format="parquet").to_table(
+        columns=["run_id", "stage"]
+    ).to_pylist()
+    return {r["stage"] for r in data if r["run_id"] == run_id}
+
+
+def stage_done(spark: SparkSession, warehouse: str, run_id: str, stage: str) -> bool:
+    return stage in _read_stages_arrow(warehouse, run_id)
+
+
+def completed_stages(spark: SparkSession, warehouse: str, run_id: str) -> set[str]:
+    """All completed stages for a run in one driver-side read."""
+    return _read_stages_arrow(warehouse, run_id)
 
 
 def record_stage(
@@ -78,9 +78,39 @@ def record_stage(
     else:
         rows = [(run_id, stage, -1, int(rows_in), int(rows_out), counters or {},
                  bool(sha_ok), ts)]
-    spark.createDataFrame(rows, CHECKPOINT).write.mode("append").parquet(
-        _ckpt_dir(warehouse)
+    _append_rows_arrow(warehouse, rows)
+
+
+def _append_rows_arrow(warehouse: str, rows: list[tuple]) -> None:
+    """Append checkpoint rows via pyarrow directly — the metadata write is a
+    handful of rows, so spinning a Spark job (createDataFrame + write) per
+    stage added ~1s of SERIAL driver time x 6 stages to every pipeline run
+    (visible in the 2-core vs 8-core scaling baseline). The file layout stays
+    spark-readable parquet in the same directory."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = _ckpt_dir(warehouse)
+    os.makedirs(path, exist_ok=True)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "run_id": pa.array(cols[0], pa.string()),
+            "stage": pa.array(cols[1], pa.string()),
+            "partition_id": pa.array(cols[2], pa.int32()),
+            "rows_in": pa.array(cols[3], pa.int64()),
+            "rows_out": pa.array(cols[4], pa.int64()),
+            "counters": pa.array(
+                [list(c.items()) for c in cols[5]],
+                pa.map_(pa.string(), pa.int64()),
+            ),
+            "sha_ok": pa.array(cols[6], pa.bool_()),
+            "ts_str": pa.array(cols[7], pa.string()),
+        }
     )
+    pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
 
 
 def partition_stats(df: DataFrame) -> DataFrame:
