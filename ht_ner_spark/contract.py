@@ -1350,9 +1350,12 @@ def q_containment_dedup(spark, sf_dir):
         ents,
         lambda e: ~F.exists(ents, lambda o: (o != e) & (F.instr(o, e) > 0)),
     )
+    # serialized ('|'-joined) rather than array<string>: the driver harness
+    # canonicalizes by sorting every output column, which requires hashable
+    # scalars (CORRECTNESS_r01 'unhashable list' errors).
     return tp.select(
         "doc_id",
-        F.array_sort(kept).alias("kept"),
+        F.concat_ws("|", F.array_sort(kept)).alias("kept"),
     )
 
 
@@ -1365,8 +1368,8 @@ WITH tp AS (
   FROM documents
 )
 SELECT doc_id,
-       list_sort(list_filter(ents,
-         e -> len(list_filter(ents, o -> o != e AND position(e IN o) > 0)) = 0)) AS kept
+       array_to_string(list_sort(list_filter(ents,
+         e -> len(list_filter(ents, o -> o != e AND position(e IN o) > 0)) = 0)), '|') AS kept
 FROM tp
 """
 
@@ -1388,9 +1391,10 @@ def q_hmm_entities(spark, sf_dir):
     doc_lens = with_tokens(corpus).select("row_id", F.size("tokens").alias("n_toks"))
     params = hmm_fit(votes, doc_lens, n_iter=2)
     ents = predicted_entities(hmm_decode(votes, doc_lens, params))
+    # '|'-serialized entities: the harness canonicalizer needs scalar columns
     return ents.select(
         F.col("row_id").cast("long").alias("doc_id"),
-        F.array_sort("entities").alias("entities"),
+        F.concat_ws("|", F.array_sort("entities")).alias("entities"),
     )
 
 
@@ -1401,22 +1405,77 @@ def load_corpus_shape(spark, sf_dir):
 
 
 # ===========================================================================
-# 30. token-classification inference (M1 + P7 + T9 + W2) — rows-only (the
-# classifier is an arbitrary model behind the protocol; char offsets are not
-# SQL-derivable). The deterministic fake keeps the run reproducible.
+# 30. token-classification inference (M1 + P7 + T9 + W2). The driver corpus
+# is 100% lowercase, so a cased text column is DERIVED (capitalize every 3rd
+# word — same trick as q_rule_patterns) so the classifier chain actually
+# fires. The FakeTokenClassifier is md5-deterministic, which makes the WHOLE
+# chain SQL-expressible: cap-word char offsets come from cumulative word
+# lengths (single-space corpus), the P7 decoy filter is h%5, the W2 merge
+# always reunites the two planted fragments, and T9 strips the Ġ marker.
 
 def q_token_classify(spark, sf_dir):
     from .operators.inference import token_classification_mentions
 
-    corpus = _corpus_shape(spark, sf_dir)
-    m = token_classification_mentions(corpus)
+    cased = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("row_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split("text", " "),
+                lambda w, i: F.when(
+                    i % 3 == 0,
+                    F.concat(F.upper(w.substr(1, 1)),
+                             w.substr(F.lit(2), F.length(w))),
+                ).otherwise(w),
+            ),
+        ).alias("content"),
+    )
+    m = token_classification_mentions(cased)
     return m.select(
         F.col("row_id").cast("long").alias("doc_id"),
         "surface",
         F.col("begin_char").cast("long").alias("begin_char"),
         F.col("end_char").cast("long").alias("end_char"),
         F.round("score", 6).alias("score"),
+        F.col("n_fragments").cast("long").alias("n_fragments"),
     )
+
+
+SQL_TOKEN_CLASSIFY = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w0,
+         unnest(range(0, len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+cased AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos % 3 = 0 THEN upper(substr(w0, 1, 1)) || substr(w0, 2)
+              ELSE w0 END AS w
+  FROM words
+),
+offs AS (
+  SELECT doc_id, pos, w,
+         COALESCE(SUM(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM cased
+),
+caps AS (
+  SELECT doc_id, regexp_extract(w, '^[A-Z][a-zA-Z]+') AS surface, off
+  FROM offs WHERE regexp_matches(w, '^[A-Z][a-zA-Z]')
+),
+h AS (
+  SELECT doc_id, surface, off AS begin_char, off + length(surface) AS end_char,
+         ('0x' || substr(md5(surface), 1, 6))::BIGINT AS hv
+  FROM caps
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, surface,
+       CAST(begin_char AS BIGINT) AS begin_char,
+       CAST(end_char AS BIGINT) AS end_char,
+       CAST(round((hv % 1000) / 1000.0, 6) AS DOUBLE) AS score,
+       CAST(2 AS BIGINT) AS n_fragments
+FROM h WHERE hv % 5 <> 0
+"""
 
 
 # ===========================================================================
@@ -1706,6 +1765,9 @@ def oracle_sql() -> dict:
         "stratified_kfold": SQL_STRATIFIED_KFOLD,
         "partial_f1": SQL_PARTIAL_F1,
         "ad_level_iou": SQL_AD_LEVEL,
+        "token_classify": SQL_TOKEN_CLASSIFY,
+        "trie_gazetteer": _sql_trie_gazetteer(),
+        "ann_bucketed": SQL_ANN_BUCKETED,
     }
 
 
@@ -1713,6 +1775,9 @@ def oracle_sql() -> dict:
 # non-SQL queries (rows-only driver checks)
 
 def q_trie_gazetteer(spark, sf_dir):
+    """J1 trie path. The trie and relational matchers are row-identical
+    (tests/test_stage1_parity.py), so the oracle is the gazetteer SQL
+    projected to the trie output columns."""
     d = _docs(spark, sf_dir).select(F.col("doc_id").alias("row_id"), "text")
     m = match_trie(d, GAZ_Q, text_col="text")
     return m.select(
@@ -1720,6 +1785,10 @@ def q_trie_gazetteer(spark, sf_dir):
         F.col("begin").cast("long").alias("begin"),
         "surface",
     )
+
+
+def _sql_trie_gazetteer() -> str:
+    return (f"SELECT doc_id, begin, surface FROM ({_sql_gazetteer_match()})")
 
 
 def q_media_features(spark, sf_dir):
@@ -1737,8 +1806,55 @@ def q_ann_bucketed(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim.bucketed_ann_topk(vecs, queries_df, k=ANN_K).select(
-        "query_id", "neighbor_id", "rank"
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
     )
+
+
+ANN_BITS = 6  # bucketed_ann_topk default: sign bits of the first 6 coords
+
+SQL_ANN_BUCKETED = f"""
+WITH v AS (
+  SELECT vec_id AS neighbor_id,
+         array_to_string(list_transform(embedding[1:{ANN_BITS}],
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+),
+q0 AS (
+  SELECT vec_id AS query_id,
+         array_to_string(list_transform(embedding[1:{ANN_BITS}],
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS qb
+  FROM embeddings WHERE vec_id < {ANN_QUERIES}
+),
+probes AS (
+  SELECT query_id,
+         CASE WHEN i = 0 THEN qb
+              ELSE substr(qb, 1, i - 1)
+                   || (CASE WHEN substr(qb, i, 1) = '1' THEN '0' ELSE '1' END)
+                   || substr(qb, i + 1)
+         END AS bucket
+  FROM q0 CROSS JOIN range(0, {ANN_BITS} + 1) t(i)
+),
+cand AS (
+  SELECT DISTINCT p.query_id, v.neighbor_id
+  FROM probes p JOIN v ON v.bucket = p.bucket
+  WHERE v.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_sum(list_transform(range(1, len(e1.embedding) + 1),
+            i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e1.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(e2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+  FROM cand c JOIN embeddings e1 ON e1.vec_id = c.neighbor_id
+              JOIN embeddings e2 ON e2.vec_id = c.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= {ANN_K}
+"""
 
 
 def q_kg_pipeline_triples(spark, sf_dir):
