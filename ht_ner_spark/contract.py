@@ -262,15 +262,18 @@ TOPK = 50
 
 
 def q_word_freq_topk(spark, sf_dir):
+    from .operators.rank import exact_global_rank
+
     tv = _tview(spark, sf_dir)
     filtered = tv.where(
         (~F.lower("tok").isin(sorted(STOPWORDS)))
         & (~F.col("tok").rlike(r"^[\p{P}\p{S}]+$"))
     )
     freq = filtered.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    # exact distributed rank ((cnt, tok) is duplicate-free) — no
+    # single-partition Window (operators/rank.py)
     return (
-        freq.withColumn("rank", F.row_number().over(w))
+        exact_global_rank(freq, [F.desc("cnt"), F.asc("tok")], "rank")
         .where(F.col("rank") <= TOPK)
         .select("tok", F.col("cnt").cast("long").alias("cnt"),
                 F.col("rank").cast("long").alias("rank"))
@@ -697,7 +700,7 @@ def q_doc_minhash_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir)
     sigs = dd.doc_minhash(d, text_col="text", id_col="doc_id", k=3,
                           num_bands=DOC_BANDS, use_md5=True)
-    pairs = dd.minhash_dupe_pairs(sigs, min_shared_bands=2, max_block=500)
+    pairs, _dropped = dd.minhash_dupe_pairs(sigs, min_shared_bands=2, max_block=500)
     return pairs.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -1812,34 +1815,45 @@ def q_ann_bucketed(spark, sf_dir):
     )
 
 
-ANN_BITS = 6  # bucketed_ann_topk default: sign bits of the first 6 coords
+# bucketed_ann_topk defaults: 8 tables x 8 sign bits over disjoint
+# coordinate slices of the 64-dim embedding, radius-1 multiprobe per table
+ANN_BITS = 8
+ANN_TABLES = 8
 
 SQL_ANN_BUCKETED = f"""
 WITH v AS (
   SELECT vec_id AS neighbor_id,
-         array_to_string(list_transform(embedding[1:{ANN_BITS}],
-           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         array_to_string(list_transform(embedding[1:{ANN_BITS * ANN_TABLES}],
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS sb
   FROM embeddings
 ),
 q0 AS (
   SELECT vec_id AS query_id,
-         array_to_string(list_transform(embedding[1:{ANN_BITS}],
-           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS qb
+         array_to_string(list_transform(embedding[1:{ANN_BITS * ANN_TABLES}],
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS sb
   FROM embeddings WHERE vec_id < {ANN_QUERIES}
 ),
+vt AS (
+  SELECT neighbor_id, t, substr(sb, t * {ANN_BITS} + 1, {ANN_BITS}) AS key
+  FROM v CROSS JOIN range(0, {ANN_TABLES}) r(t)
+),
+qt AS (
+  SELECT query_id, t, substr(sb, t * {ANN_BITS} + 1, {ANN_BITS}) AS qb
+  FROM q0 CROSS JOIN range(0, {ANN_TABLES}) r(t)
+),
 probes AS (
-  SELECT query_id,
+  SELECT query_id, t,
          CASE WHEN i = 0 THEN qb
               ELSE substr(qb, 1, i - 1)
                    || (CASE WHEN substr(qb, i, 1) = '1' THEN '0' ELSE '1' END)
                    || substr(qb, i + 1)
-         END AS bucket
-  FROM q0 CROSS JOIN range(0, {ANN_BITS} + 1) t(i)
+         END AS key
+  FROM qt CROSS JOIN range(0, {ANN_BITS} + 1) p(i)
 ),
 cand AS (
-  SELECT DISTINCT p.query_id, v.neighbor_id
-  FROM probes p JOIN v ON v.bucket = p.bucket
-  WHERE v.neighbor_id <> p.query_id
+  SELECT DISTINCT p.query_id, vt.neighbor_id
+  FROM probes p JOIN vt ON vt.t = p.t AND vt.key = p.key
+  WHERE vt.neighbor_id <> p.query_id
 ),
 scored AS (
   SELECT c.query_id, c.neighbor_id,

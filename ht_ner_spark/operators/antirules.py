@@ -21,7 +21,7 @@ all-punctuation regex (deviation shared with the oracle, SURVEY §7.0).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 THRESHOLDS = [0.01, 0.02, 0.03, 0.04, 0.05]
@@ -47,7 +47,15 @@ PUNCT_REGEX = r"^[\p{P}\p{S}]+$"
 def word_frequency(token_view: DataFrame) -> DataFrame:
     """(tok, cnt, first_seen, rank) over non-stop, non-punct tokens.
     first_seen = min(row_id * 2^20 + pos) — global first occurrence for the
-    Counter-insertion-order tie-break (documents < 2^20 tokens each)."""
+    Counter-insertion-order tie-break (documents < 2^20 tokens each).
+
+    The rank is an EXACT global row_number but computed distributed
+    (range-sort + partition prefix offsets, operators/rank.py): (cnt,
+    first_seen) is duplicate-free — one corpus position holds one token — so
+    no unpartitioned Window is needed, and a 10^9-token web-corpus vocabulary
+    ranks across all executors instead of one."""
+    from .rank import exact_global_rank
+
     filtered = token_view.where(
         (~F.lower("tok").isin(list(STOPWORDS))) & (~F.col("tok").rlike(PUNCT_REGEX))
     )
@@ -55,8 +63,7 @@ def word_frequency(token_view: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.col("row_id") * (1 << 20) + F.col("pos")).alias("first_seen"),
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("first_seen"))
-    return freq.withColumn("rank", F.row_number().over(w))
+    return exact_global_rank(freq, [F.desc("cnt"), F.asc("first_seen")], "rank")
 
 
 def frequency_votes(token_view: DataFrame, freq: DataFrame,

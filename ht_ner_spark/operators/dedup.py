@@ -85,20 +85,31 @@ def doc_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def minhash_dupe_pairs(signatures: DataFrame, min_shared_bands: int = 1,
-                       max_block: int = 200) -> DataFrame:
-    """(src, dst, shared_bands): pairs of docs sharing >= min_shared_bands
-    band signatures; oversized buckets dropped (skew guard)."""
+                       max_block: int = 200
+                       ) -> tuple[DataFrame, DataFrame]:
+    """-> (pairs(src, dst, shared_bands), dropped_blocks(band, sig,
+    block_size)): pairs of docs sharing >= min_shared_bands band signatures.
+    Oversized buckets are the hub-skew guard — excluded and REPORTED, never
+    silently capped (same contract as linking.lsh_candidates; the pipeline
+    threads the dropped count into checkpoint counters)."""
     sized = signatures.withColumn(
         "bs", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
-    ).where(F.col("bs") <= max_block)
-    a, b = sized.alias("a"), sized.alias("b")
-    return (
+    )
+    dropped = (
+        sized.where(F.col("bs") > max_block)
+        .groupBy("band", "sig")
+        .agg(F.max("bs").alias("block_size"))
+    )
+    ok = sized.where(F.col("bs") <= max_block)
+    a, b = ok.alias("a"), ok.alias("b")
+    pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .agg(F.count(F.lit(1)).alias("shared_bands"))
         .where(F.col("shared_bands") >= min_shared_bands)
     )
+    return pairs, dropped
 
 
 def ngram_jaccard_pairs(pairs_with_text: DataFrame, k: int = 3,
@@ -141,17 +152,25 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     )
 
 
-def simhash_near_dupes(fps: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """(src, dst, hamming): block on simhash halves (a fingerprint pair within
-    hamming distance d shares at least one of d+1 equal segments — pigeonhole),
-    then verify exact Hamming distance. Avoids the all-pairs product."""
-    n = 2  # segments; supports max_hamming <= 1 exactly, superset for 2 with verify
+def simhash_near_dupes(fps: DataFrame, max_hamming: int = 2,
+                       bits: int = 16) -> DataFrame:
+    """(src, dst, hamming): block on simhash segments — a fingerprint pair
+    within Hamming distance d shares at least one of d+1 equal segments
+    (pigeonhole needs d+1 segments, NOT fewer: with only 2 segments a pair
+    differing by one bit in each half is silently missed) — then verify the
+    exact Hamming distance. Avoids the all-pairs product; recall is exact
+    for distance <= max_hamming (tests/test_dedup_recall.py checks against
+    all-pairs ground truth)."""
+    n = max_hamming + 1
+    base, rem = divmod(bits, n)
+    widths = [base + 1 if i < rem else base for i in range(n)]
+    starts = [1 + sum(widths[:i]) for i in range(n)]
     segged = fps.select(
         "doc_id", "simhash",
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("seg"),
-                         F.substring("simhash", i * 8 + 1, 8).alias("key"))
+                         F.substring("simhash", starts[i], widths[i]).alias("key"))
                 for i in range(n)
             ])
         ).alias("s"),

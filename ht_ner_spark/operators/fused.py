@@ -52,6 +52,8 @@ from .rules import RULE_PATTERNS
 
 # combined stage-1 frame: mention rows (kind='m') + vote rows (kind='v').
 # Votes reuse begin as pos and surface as tok; unused numeric fields are 0.
+# begin_char/end_char are the mention's character span (Entity.begin_offset
+# semantics, neat_base_classes.py:33-34) — 0 on vote rows.
 S1_COMBINED = StructType(
     [
         StructField("kind", StringType(), False),
@@ -64,6 +66,8 @@ S1_COMBINED = StructType(
         StructField("base_conf", DoubleType(), False),
         StructField("confidence", DoubleType(), False),
         StructField("weight", DoubleType(), False),
+        StructField("begin_char", IntegerType(), True),
+        StructField("end_char", IntegerType(), True),
     ]
 )
 
@@ -71,6 +75,7 @@ _COLS = [f.name for f in S1_COMBINED.fields]
 _TYPES = {
     "row_id": "int64", "begin": "int32", "end": "int32",
     "base_conf": "float64", "confidence": "float64", "weight": "float64",
+    "begin_char": "int32", "end_char": "int32",
 }
 
 
@@ -83,7 +88,8 @@ for _idx, (_pname, _trig, _conf) in enumerate(RULE_PATTERNS):
     _TRIG_MAP.setdefault(_trig[0], []).append((f"rule{_idx}", _trig, _conf))
 
 
-def _label_row(row_id: int, toks: list[str], low: list[str], trie: dict,
+def _label_row(row_id: int, toks: list[str], low: list[str],
+               starts: list[int], ends: list[int], trie: dict,
                freq_cutoffs: list[tuple[str, int]],
                common_ranks: dict[str, int], out: list) -> None:
     n = len(toks)
@@ -110,7 +116,7 @@ def _label_row(row_id: int, toks: list[str], low: list[str], trie: dict,
                 if "dictionary" not in lfs:
                     lfs.append("dictionary")
                 out.append(("m", row_id, "dictionary", i, j, surf,
-                            "PERSON_NAME", w, w, 0.0))
+                            "PERSON_NAME", w, w, 0.0, starts[i], ends[j - 1]))
 
         # -- 27 rule patterns (neat_extractors.py:26-116; NNP = capitalized
         #    proxy). Trigger window: i in range(n - k) in the per-pattern
@@ -129,20 +135,21 @@ def _label_row(row_id: int, toks: list[str], low: list[str], trie: dict,
                     if lf not in lfs:
                         lfs.append(lf)
                     out.append(("m", row_id, lf, i + k, i + k + 1, nnp,
-                                "PERSON_NAME", conf, conf, 0.0))
+                                "PERSON_NAME", conf, conf, 0.0,
+                                starts[i + k], ends[i + k]))
 
         # -- caps detectors (labeling_functions.py:76-97): position-faithful
         if i >= 1:
             if len(t) > 2 and t.isupper():
                 out.append(("m", row_id, "all_caps", i, i + 1, t,
-                            "PERSON_NAME", 0.5, 0.5, 0.0))
+                            "PERSON_NAME", 0.5, 0.5, 0.0, starts[i], ends[i]))
                 out.append(("v", row_id, "all_caps", i, i + 1, t,
-                            "PERSON_NAME", 0.0, 0.0, 1.0))
+                            "PERSON_NAME", 0.0, 0.0, 1.0, 0, 0))
             if i < n - 2 and 2 < len(t) < 15 and t[:1].isupper() and t[:1].isalpha():
                 out.append(("m", row_id, "name_case", i, i + 1, t,
-                            "PERSON_NAME", 0.5, 0.5, 0.0))
+                            "PERSON_NAME", 0.5, 0.5, 0.0, starts[i], ends[i]))
                 out.append(("v", row_id, "name_case", i, i + 1, t,
-                            "PERSON_NAME", 0.0, 0.0, 1.0))
+                            "PERSON_NAME", 0.0, 0.0, 1.0, 0, 0))
 
     # -- J2 span re-projection quirk (labeling_functions.py:27-54): every
     #    token whose EXACT text equals an extracted surface of that LF votes.
@@ -153,14 +160,14 @@ def _label_row(row_id: int, toks: list[str], low: list[str], trie: dict,
         if lfs:
             for lf in lfs:
                 out.append(("v", row_id, lf, i, i + 1, t,
-                            "PERSON_NAME", 0.0, 0.0, 1.0))
+                            "PERSON_NAME", 0.0, 0.0, 1.0, 0, 0))
         if common_ranks:
             r = common_ranks.get(t)
             if r is not None:
                 for lf, max_rank in freq_cutoffs:
                     if r <= max_rank:
                         out.append(("v", row_id, lf, i, i + 1, t,
-                                    "NOT_NAME", 0.0, 0.0, 1.0))
+                                    "NOT_NAME", 0.0, 0.0, 1.0, 0, 0))
 
 
 def fused_stage1(corpus: DataFrame, gazetteer: dict[str, float],
@@ -181,8 +188,12 @@ def fused_stage1(corpus: DataFrame, gazetteer: dict[str, float],
         for pdf in batches:
             out: list[tuple] = []
             for row_id, text in zip(pdf["row_id"], pdf[text_col]):
-                toks = tok_re.findall(text or "")
+                # finditer: same token stream as findall, plus char spans
+                matches = list(tok_re.finditer(text or ""))
+                toks = [m.group(0) for m in matches]
                 _label_row(int(row_id), toks, [t.lower() for t in toks],
+                           [m.start() for m in matches],
+                           [m.end() for m in matches],
                            trie, cutoffs, ranks, out)
             yield pd.DataFrame(out, columns=_COLS).astype(_TYPES)
 

@@ -122,7 +122,10 @@ def match_trie(corpus: DataFrame, weights: dict[str, float],
         for pdf in batches:
             rows_out: list[tuple] = []
             for row_id, text in zip(pdf["row_id"], pdf[text_col]):
-                toks = tok_re.findall(text or "")
+                # finditer instead of findall: same tokens, plus the char
+                # spans that feed MENTIONS.begin_char/end_char for free
+                matches = list(tok_re.finditer(text or ""))
+                toks = [m.group(0) for m in matches]
                 low = [t.lower() for t in toks]
                 n = len(toks)
                 for i in range(n):
@@ -135,14 +138,16 @@ def match_trie(corpus: DataFrame, weights: dict[str, float],
                             w = node["\0"]
                             rows_out.append(
                                 (row_id, lf_name, i, j, " ".join(toks[i:j]),
-                                 "PERSON_NAME", w, w)
+                                 "PERSON_NAME", w, w,
+                                 matches[i].start(), matches[j - 1].end())
                             )
             yield pd.DataFrame(
                 rows_out,
                 columns=[f.name for f in MENTIONS.fields],
             ).astype(
                 {"row_id": "int64", "begin": "int32", "end": "int32",
-                 "base_conf": "float64", "confidence": "float64"}
+                 "base_conf": "float64", "confidence": "float64",
+                 "begin_char": "int32", "end_char": "int32"}
             )
 
     return corpus.select("row_id", text_col).mapInPandas(run, MENTIONS)

@@ -32,9 +32,9 @@ observations).
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -102,85 +102,106 @@ class HMMParams:
 def _obs_matrix(grp: pd.DataFrame, n_toks: int, lfs: list[str]):
     """-> per-position dict {lf: +1 (PERSON vote) / -1 (NOT_NAME vote)}."""
     obs: list[dict] = [{} for _ in range(n_toks)]
+    lf_set = frozenset(lfs)  # hoisted: the per-vote loop must be O(n_votes)
     for pos, lf, label in zip(grp["pos"], grp["lf_name"], grp["label"]):
-        if 0 <= pos < n_toks and lf in set(lfs):
+        if 0 <= pos < n_toks and lf in lf_set:
             obs[int(pos)][lf] = 1 if label == "PERSON_NAME" else -1
     return obs
 
 
-def _emit_prob(params: HMMParams, state: int, votes: dict) -> float:
-    """P(observed vote pattern | state) under independent Bernoulli LFs.
-    Only OBSERVED LFs contribute (skweak-style partial observation: an LF
-    that stays silent is uninformative, not negative evidence)."""
-    p = 1.0
-    for lf, sign in votes.items():
-        e = params.emit[lf][state]
-        if sign > 0:
-            p *= e            # LF voted PERSON_NAME here
-        else:
-            # NOT_NAME vote: evidence AGAINST state 1 — model as the LF's
-            # complementary event in the anti direction
-            p *= (1.0 - e) if state == 1 else max(e, 1e-6)
-    return max(p, 1e-12)
+def _emission_matrix(params: HMMParams, obs: list[dict]) -> np.ndarray:
+    """(n, 2) P(observed vote pattern at t | state) under independent
+    Bernoulli LFs. Only OBSERVED LFs contribute (skweak-style partial
+    observation: an LF that stays silent is uninformative, not negative
+    evidence). NOT_NAME votes are evidence AGAINST state 1 — modelled as the
+    LF's complementary event in the anti direction."""
+    n = len(obs)
+    em = np.ones((n, 2))
+    for t, votes in enumerate(obs):
+        for lf, sign in votes.items():
+            e0, e1 = params.emit[lf]
+            if sign > 0:
+                em[t, 0] *= e0
+                em[t, 1] *= e1
+            else:
+                em[t, 0] *= max(e0, 1e-6)
+                em[t, 1] *= 1.0 - e1
+    np.maximum(em, 1e-12, out=em)
+    return em
 
 
 def _forward_backward(params: HMMParams, obs: list[dict]):
+    """Scaled forward-backward, numpy-vectorized over the 2 states; the
+    per-position work is two 2-vector ops (the t-recursions are inherently
+    sequential). Returns (gamma (n,2), (alpha, beta, em, scale), loglik)."""
     n = len(obs)
     if n == 0:
-        return [], [], 0.0
-    S = 2
-    em = [[_emit_prob(params, s, obs[t]) for s in range(S)] for t in range(n)]
-    alpha = [[0.0] * S for _ in range(n)]
-    scale = [0.0] * n
-    for s in range(S):
-        alpha[0][s] = params.start[s] * em[0][s]
-    scale[0] = sum(alpha[0]) or 1e-12
-    alpha[0] = [a / scale[0] for a in alpha[0]]
+        return np.zeros((0, 2)), (None, None, None, None), 0.0
+    em = _emission_matrix(params, obs)
+    trans = np.asarray(params.trans)
+    alpha = np.zeros((n, 2))
+    scale = np.zeros(n)
+    a = np.asarray(params.start) * em[0]
+    scale[0] = a.sum() or 1e-12
+    alpha[0] = a / scale[0]
     for t in range(1, n):
-        for s in range(S):
-            alpha[t][s] = em[t][s] * sum(
-                alpha[t - 1][u] * params.trans[u][s] for u in range(S)
-            )
-        scale[t] = sum(alpha[t]) or 1e-12
-        alpha[t] = [a / scale[t] for a in alpha[t]]
-    beta = [[1.0] * S for _ in range(n)]
+        a = em[t] * (alpha[t - 1] @ trans)
+        scale[t] = a.sum() or 1e-12
+        alpha[t] = a / scale[t]
+    beta = np.ones((n, 2))
     for t in range(n - 2, -1, -1):
-        for s in range(S):
-            beta[t][s] = sum(
-                params.trans[s][u] * em[t + 1][u] * beta[t + 1][u] for u in range(S)
-            ) / scale[t + 1]
-    gamma = []
-    for t in range(n):
-        g = [alpha[t][s] * beta[t][s] for s in range(S)]
-        z = sum(g) or 1e-12
-        gamma.append([x / z for x in g])
-    ll = sum(math.log(s) for s in scale)
+        beta[t] = (trans @ (em[t + 1] * beta[t + 1])) / scale[t + 1]
+    g = alpha * beta
+    z = g.sum(axis=1, keepdims=True)
+    z[z == 0.0] = 1e-12
+    gamma = g / z
+    ll = float(np.log(scale).sum())
     return gamma, (alpha, beta, em, scale), ll
 
 
 def _doc_stats(params: HMMParams, obs: list[dict]):
-    """Expected sufficient statistics rows for one document."""
-    gamma, (alpha, beta, em, scale), ll = _forward_backward(params, obs)
+    """Expected sufficient statistics for one document, PRE-AGGREGATED
+    within the doc (sums are associative — the global groupBy().sum() sees
+    identical totals): O(|LFs observed| + 6) rows per doc instead of the
+    O(4n) per-position rows of the naive form, which dominated shuffle
+    volume for THE aggregation of the pipeline (VERDICT r1 wrong-#6)."""
+    gamma, (alpha, beta, em, scale), _ll = _forward_backward(params, obs)
     n = len(obs)
     rows = []
     if n == 0:
         return rows
-    S = 2
-    for s in range(S):
-        rows.append(("start", "", s, 0, gamma[0][s], 1.0))
-    # transitions
-    for t in range(n - 1):
-        for s in range(S):
-            for u in range(S):
-                xi = (alpha[t][s] * params.trans[s][u] * em[t + 1][u]
-                      * beta[t + 1][u] / scale[t + 1])
-                rows.append(("trans", "", s, u, xi, gamma[t][s]))
-    # emissions: exposure = state occupancy; event = LF voted PERSON there
-    for t in range(n):
-        for lf, sign in obs[t].items():
-            for s in range(S):
-                rows.append(("emit", lf, s, 0,
-                             gamma[t][s] if sign > 0 else 0.0, gamma[t][s]))
+    for s in range(2):
+        rows.append(("start", "", s, 0, float(gamma[0, s]), 1.0))
+    if n > 1:
+        trans = np.asarray(params.trans)
+        # xi[s, u] summed over t: alpha[t,s]·trans[s,u]·em[t+1,u]·beta[t+1,u]/scale[t+1]
+        right = em[1:] * beta[1:] / scale[1:, None]          # (n-1, 2) over u
+        xi = (alpha[:-1].T @ right) * trans                  # (2, 2)
+        gexp = gamma[:-1].sum(axis=0)                        # exposure per s
+        for s in range(2):
+            for u in range(2):
+                rows.append(("trans", "", s, u, float(xi[s, u]), float(gexp[s])))
+    # emissions: exposure = state occupancy at observed positions; event =
+    # LF voted PERSON_NAME there
+    emit_w: dict[str, np.ndarray] = {}
+    emit_n: dict[str, np.ndarray] = {}
+    for t, votes in enumerate(obs):
+        for lf, sign in votes.items():
+            nacc = emit_n.get(lf)
+            if nacc is None:
+                nacc = emit_n[lf] = np.zeros(2)
+            nacc += gamma[t]
+            if sign > 0:
+                wacc = emit_w.get(lf)
+                if wacc is None:
+                    wacc = emit_w[lf] = np.zeros(2)
+                wacc += gamma[t]
+    for lf, nacc in emit_n.items():
+        wacc = emit_w.get(lf)
+        for s in range(2):
+            rows.append(("emit", lf, s, 0,
+                         float(wacc[s]) if wacc is not None else 0.0,
+                         float(nacc[s])))
     return rows
 
 

@@ -56,7 +56,16 @@ def salted_join(large: DataFrame, small: DataFrame, key: str, k: int = 16,
                 how: str = "inner") -> DataFrame:
     """large ⋈ small on ``key`` with the small side replicated k× and the
     large side salted deterministically. Output columns = the unsalted
-    join's columns; row-set identical to ``large.join(small, key, how)``."""
+    join's columns; row-set identical to ``large.join(small, key, how)``
+    for inner/left joins ONLY — right/full outer would emit each unmatched
+    small-side row k times (it is replicated before the join), so those join
+    types are rejected."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "the replicated small side would duplicate unmatched rows under "
+            "right/full outer semantics"
+        )
     other_cols = [c for c in large.columns if c != key]
     salted_large = large.withColumn(
         "_salt", _det_salt(other_cols or [key], k)

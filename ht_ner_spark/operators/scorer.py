@@ -9,7 +9,12 @@ Reference semantics (/root/reference/sweet/neat_disambiguation.py):
 * M2: a RoBERTa fill-mask model proposes top_k=40 fills for the mask; the
   score is the fraction of fills found in the name gazetteer, excluding the
   original word (:59-70); quirk A10a: if the original word IS one of its own
-  top-k fills the ratio gets a -2 penalty (:68-69, "-2" applied).
+  top-k fills the ratio is REPLACED by -2 (:101-104 overwrites
+  info_dict['ratio'] = -2). Deliberate deviation kept (SURVEY §7.0): the
+  reference masks by substring-replacing the FIRST occurrence of the word
+  (which can hit mid-word, e.g. 'art' inside 'part'); context_window masks
+  the exact token slot instead — token-exact masking is strictly more
+  faithful to "mask the mention" and is shared by engine AND oracle.
 * A10b: the reference repeats the identical deterministic call num_runs=10
   times and averages (:43-48,101-104) — collapsed to 1 run here (semantic
   no-op, 10x saving; documented deviation, SURVEY §2.4 A10).
@@ -91,7 +96,11 @@ class HashScorer:
     """Deterministic sandbox scorer; md5-based so DuckDB can reproduce it.
 
     score = (int(md5(lower(surface) || ':' || context)[:6], 16) % 1000)/1000
-    penalty: -2 when int(md5('p:' || lower(surface))[:4], 16) % 7 == 0
+    penalty: the score is REPLACED by -2 when
+    int(md5('p:' || lower(surface))[:4], 16) % 7 == 0 — mirroring the
+    reference's A10 quirk, which OVERWRITES the ratio with -2 when the word
+    fills itself (neat_disambiguation.py:101-104, info_dict['ratio'] = -2),
+    it does not add the penalty.
     context NULL -> 0.0 (J6 missing-word rule).
     """
 
@@ -102,10 +111,11 @@ class HashScorer:
             if ctx is None or (isinstance(ctx, float) and pd.isna(ctx)):
                 return 0.0
             s = (surface or "").lower()
-            h = int(hashlib.md5(f"{s}:{ctx}".encode()).hexdigest()[:6], 16)
-            score = (h % 1000) / 1000.0
             p = int(hashlib.md5(f"p:{s}".encode()).hexdigest()[:4], 16)
-            return score + (PENALTY if p % 7 == 0 else 0.0)
+            if p % 7 == 0:
+                return PENALTY
+            h = int(hashlib.md5(f"{s}:{ctx}".encode()).hexdigest()[:6], 16)
+            return (h % 1000) / 1000.0
 
         return pd.Series([one(s, c) for s, c in zip(surfaces, contexts)],
                          dtype="float64")
@@ -120,8 +130,8 @@ class HashScorer:
                    ).cast("long")
         p = F.conv(F.substring(F.md5(F.concat(F.lit("p:"), s)), 1, 4), 16, 10
                    ).cast("long")
-        score = (h % 1000) / F.lit(1000.0) + F.when(p % 7 == 0, F.lit(PENALTY)
-                                                    ).otherwise(F.lit(0.0))
+        # A10: penalty REPLACES the score (reference overwrites ratio with -2)
+        score = F.when(p % 7 == 0, F.lit(PENALTY)).otherwise((h % 1000) / F.lit(1000.0))
         return F.when(context.isNull(), F.lit(0.0)).otherwise(score)
 
     @staticmethod
@@ -131,8 +141,8 @@ class HashScorer:
         h = f"(('0x' || substr(md5({s} || ':' || {context}), 1, 6))::BIGINT)"
         p = f"(('0x' || substr(md5('p:' || {s}), 1, 4))::BIGINT)"
         return (f"CASE WHEN {context} IS NULL THEN 0.0 "
-                f"ELSE ({h} % 1000) / 1000.0 + "
-                f"CASE WHEN {p} % 7 = 0 THEN {PENALTY} ELSE 0.0 END END")
+                f"WHEN {p} % 7 = 0 THEN {PENALTY} "
+                f"ELSE ({h} % 1000) / 1000.0 END")
 
 
 class HFScorer:
@@ -175,11 +185,13 @@ class HFScorer:
             fills = pipe(ctx)
             toks = [f["token_str"].strip("Ġ▁ ").lower() for f in fills]
             # ratio of fills found in gazetteer, excluding the original word
-            # (neat_disambiguation.py:59-70); -2 if the word fills itself
+            # (neat_disambiguation.py:59-70); the ratio is REPLACED by -2
+            # when the word fills itself (neat_disambiguation.py:101-104
+            # overwrites info_dict['ratio'] = -2, it does not add)
             hits = sum(1 for t in toks if t in self.gazetteer and t != surface.lower())
             ratio = hits / max(len(toks), 1)
             if surface.lower() in toks:
-                ratio += PENALTY
+                ratio = PENALTY
             out.append(ratio)
         return pd.Series(out, dtype="float64")
 

@@ -130,18 +130,27 @@ def stage1_mentions(corpus: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, 
             votes = votes.unionByName(extra_votes)
         return split_mentions(combined), votes
 
+    from .operators.tokens import attach_char_offsets, char_token_view
+
     toks = with_tokens(corpus)
     tview = token_view(toks)
+    # char offsets (MENTIONS.begin_char/end_char): the fused path emits them
+    # inline; the composed path derives them once from a char-offset token
+    # view and attaches them to every token-span mention frame.
+    ctv = char_token_view(corpus).localCheckpoint()
     if cfg.use_trie:
-        gaz_mentions = match_trie(corpus, cfg.gazetteer)
+        gaz_mentions = match_trie(corpus, cfg.gazetteer)  # offsets inline
     else:
-        gaz_mentions = match_relational(
-            toks, gazetteer_df(spark, cfg.gazetteer),
-            lengths=sorted({len(k.split()) for k in cfg.gazetteer}),
+        gaz_mentions = attach_char_offsets(
+            match_relational(
+                toks, gazetteer_df(spark, cfg.gazetteer),
+                lengths=sorted({len(k.split()) for k in cfg.gazetteer}),
+            ),
+            ctv,
         )
-    rule_ments = ru.rule_mentions(tview)
-    caps = ru.all_caps_mentions(tview)
-    name_case = ru.name_case_mentions(tview)
+    rule_ments = attach_char_offsets(ru.rule_mentions(tview), ctv)
+    caps = attach_char_offsets(ru.all_caps_mentions(tview), ctv)
+    name_case = attach_char_offsets(ru.name_case_mentions(tview), ctv)
     mentions = gaz_mentions.unionByName(rule_ments).unionByName(caps).unionByName(name_case)
 
     # votes: J2 projection for span LFs (gazetteer + rules), position-faithful

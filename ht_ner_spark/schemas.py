@@ -35,7 +35,10 @@ CORPUS = StructType(
 )
 
 # stage 1 output: one row per (labeling function, token span) mention.
-# Entity fields per /root/reference/sweet/neat_base_classes.py:23-39.
+# Entity fields per /root/reference/sweet/neat_base_classes.py:23-39;
+# begin_char/end_char mirror Entity.begin_offset/end_offset
+# (neat_base_classes.py:33-34) — character offsets into the source content,
+# captured from the tokenizer's match spans (same regex pass, no extra cost).
 MENTIONS = StructType(
     [
         StructField("row_id", LongType(), False),
@@ -46,6 +49,8 @@ MENTIONS = StructType(
         StructField("label", StringType(), False),    # PERSON_NAME | NOT_NAME
         StructField("base_conf", DoubleType(), False),
         StructField("confidence", DoubleType(), False),
+        StructField("begin_char", IntegerType(), True),  # char offset, inclusive
+        StructField("end_char", IntegerType(), True),    # char offset, exclusive
     ]
 )
 

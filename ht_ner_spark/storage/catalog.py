@@ -34,17 +34,28 @@ def write_table(
     name: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    dynamic_overwrite: bool = False,
 ) -> None:
+    """dynamic_overwrite=True replaces ONLY the partitions present in ``df``
+    (per-write option — deliberately not the session-wide conf, which would
+    leak stale partitions into full-stage rewrites). Used for idempotent
+    micro-batch writes keyed by batch_id (streaming/incremental.py); the
+    Iceberg equivalent is overwritePartitions()."""
     cat = _iceberg_enabled(df.sparkSession)
     if cat:
         writer = df.writeTo(f"{cat}.{name}")
         if partition_by:
             from pyspark.sql import functions as F
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
-        writer.createOrReplace()
+        if dynamic_overwrite:
+            writer.overwritePartitions()
+        else:
+            writer.createOrReplace()
         return
     path = os.path.join(warehouse, name)
     w = df.write.mode(mode)
+    if dynamic_overwrite:
+        w = w.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

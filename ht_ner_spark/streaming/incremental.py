@@ -12,8 +12,15 @@ Design:
   sources cannot infer), sha256 attached at scan (the per-row invariant).
 * `foreachBatch`: each micro-batch runs the SAME fused stage-1 labeler as
   the batch pipeline (operators/fused.py — one code path, two drivers) and
-  APPENDS to the warehouse mentions/votes tables, recording a checkpoint row
+  writes the warehouse mentions/votes tables, recording a checkpoint row
   per batch (stage "s1-stream", partition_id = batch_id).
+* **Exactly-once data, at-least-once metrics**: foreachBatch alone is
+  at-least-once (a crash between the data write and the offset commit
+  re-runs the batch). The data writes are made idempotent by keying every
+  row with its ``batch_id`` and writing via dynamic partition overwrite —
+  a re-run of batch N replaces partition ``batch_id=N`` instead of
+  appending a duplicate copy. Checkpoint METRIC rows remain at-least-once
+  (duplicates carry the same batch_id counter and are distinguishable).
 * `Trigger.AvailableNow`: drains everything new, then stops — the
   batch-incremental operating mode (cron-style re-runs process only new
   files; a long-running `trigger(processingTime=...)` works unchanged).
@@ -56,10 +63,13 @@ def stream_stage1(spark: SparkSession, corpus_dir: str, warehouse: str,
                   common_ranks: dict[str, int] | None = None,
                   freq_cutoffs: list[tuple[str, int]] | None = None,
                   run_id: str = "stream") -> None:
-    """Drain all new corpus files through fused stage 1, appending to the
-    warehouse mentions/votes tables. Exactly-once per source file via the
-    stream's offset checkpoint; returns when the backlog is drained
-    (Trigger.AvailableNow)."""
+    """Drain all new corpus files through fused stage 1, writing the
+    warehouse mentions/votes tables. Exactly-once per source file: the
+    stream's offset checkpoint prevents re-reads across restarts, and each
+    micro-batch lands in its own ``batch_id`` partition via dynamic
+    partition overwrite, so a crash-and-retry of one batch replaces its
+    partition instead of duplicating rows. Returns when the backlog is
+    drained (Trigger.AvailableNow)."""
     from ..operators.fused import fused_stage1, split_mentions, split_votes
 
     os.makedirs(warehouse, exist_ok=True)
@@ -69,11 +79,13 @@ def stream_stage1(spark: SparkSession, corpus_dir: str, warehouse: str,
         combined = fused_stage1(
             batch_df, gazetteer,
             common_ranks=common_ranks, freq_cutoffs=freq_cutoffs or [],
-        ).localCheckpoint()  # materialize once; two appends below reuse it
-        mentions = split_mentions(combined)
-        votes = split_votes(combined)
-        cat.write_table(mentions, warehouse, "mentions", mode="append")
-        cat.write_table(votes, warehouse, "votes", mode="append")
+        ).localCheckpoint()  # materialize once; the two writes below reuse it
+        mentions = split_mentions(combined).withColumn("batch_id", F.lit(int(batch_id)))
+        votes = split_votes(combined).withColumn("batch_id", F.lit(int(batch_id)))
+        cat.write_table(mentions, warehouse, "mentions", mode="overwrite",
+                        partition_by=["batch_id"], dynamic_overwrite=True)
+        cat.write_table(votes, warehouse, "votes", mode="overwrite",
+                        partition_by=["batch_id"], dynamic_overwrite=True)
         ck.record_stage(
             spark, warehouse, run_id, "s1-stream",
             rows_out=combined.count(),

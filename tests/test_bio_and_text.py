@@ -129,3 +129,32 @@ def test_truncate_words_spaceless_char_count(spark):
     text = "ab cd ef gh"
     n = sum(len(x) for x in text.split()[:3])
     assert got == text[:n]
+
+
+def test_truecase_hook_gated_both_ways(spark):
+    """T1 truecase is a config hook: absent library -> clear
+    NotImplementedError; with use_truecase=False the chain is exactly
+    preprocess() (the documented sandbox fallback)."""
+    import pytest
+
+    from ht_ner_spark.functions.text import (
+        preprocess_with_config,
+        truecase_udf,
+    )
+
+    try:
+        import truecase  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+
+    if not have:
+        with pytest.raises(NotImplementedError):
+            truecase_udf()
+    df = spark.createDataFrame([("It's <b>me</b>",)], "inp string")
+    a = df.select(preprocess("inp").alias("g")).collect()[0]["g"]
+    b = df.select(
+        preprocess_with_config("inp", use_truecase=False).alias("g")
+    ).collect()[0]["g"]
+    assert a == b

@@ -23,7 +23,7 @@ def test_fused_equals_composed(spark, tmp_path):
     cm, cv = stage1_mentions(c, comp_cfg)
 
     mcols = ["row_id", "lf_name", "begin", "end", "surface", "label",
-             "base_conf", "confidence"]
+             "base_conf", "confidence", "begin_char", "end_char"]
     assert _rowset(fm, mcols) == _rowset(cm, mcols)
 
     vcols = ["row_id", "pos", "lf_name", "label", "weight", "tok"]
