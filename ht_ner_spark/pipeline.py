@@ -54,6 +54,15 @@ class PipelineConfig:
     # skweak HMM analog (run_sweet.py:60-65).
     aggregator: str = "vote"
     hmm_iter: int = 5
+    # >0 -> co-located stage-4 join: corpus and entities are ALSO written as
+    # row_id-bucketed tables (this many buckets), so the corpus ⋈ entities
+    # join runs with NO Exchange on either side (the write-side distribution
+    # replaces the join-time shuffle — the 100 TB pattern for a table joined
+    # on the same key every run). The parquet stage tables remain the durable
+    # resume format (the session catalog is in-memory without a metastore);
+    # on Iceberg the bucketing is a bucket(n, row_id) partition transform on
+    # the table itself — one write, not two.
+    bucket_buckets: int = 0
 
 
 def _frequency_inputs(corpus: DataFrame, cfg: PipelineConfig):
@@ -188,6 +197,28 @@ def _read_votes(spark: SparkSession, wh: str, cfg: PipelineConfig) -> DataFrame:
     return cat.read_table(spark, wh, "votes")
 
 
+def _bucket_table_name(run_id: str, table: str) -> str:
+    import re
+
+    return re.sub(r"[^0-9a-zA-Z_]", "_", f"b_{run_id}_{table}")
+
+
+def _bucketed_stage4_inputs(spark: SparkSession, corpus: DataFrame,
+                            entities: DataFrame, cfg: PipelineConfig
+                            ) -> tuple[DataFrame, DataFrame]:
+    """Write corpus + entities as row_id-bucketed tables (once per run) and
+    return bucketed readers: the stage-4 row_id join then needs no Exchange
+    on either side (asserted by tests/test_bucketing.py)."""
+    n = cfg.bucket_buckets
+    ct = _bucket_table_name(cfg.run_id, "corpus")
+    et = _bucket_table_name(cfg.run_id, "entities")
+    if not spark.catalog.tableExists(ct):
+        cat.write_bucketed(corpus, ct, ["row_id"], n, sort_cols=["row_id"])
+    if not spark.catalog.tableExists(et):
+        cat.write_bucketed(entities, et, ["row_id"], n, sort_cols=["row_id"])
+    return cat.read_bucketed(spark, ct), cat.read_bucketed(spark, et)
+
+
 def _observed_count(df: DataFrame, name: str):
     """Attach an Observation so the write action itself yields the row count —
     no separate count() job (one fewer corpus-scale pass per stage)."""
@@ -299,7 +330,12 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFram
         # subj) keeps pred-partition pruning on read (partitionBy below) while
         # every core writes; each task emits at most |preds| files.
         n_out = spark.sparkContext.defaultParallelism * 2
-        triples = dedup_triples(build_triples(corpus, entities, comps))
+        corpus4, entities4 = corpus, entities
+        if cfg.bucket_buckets > 0:
+            corpus4, entities4 = _bucketed_stage4_inputs(
+                spark, corpus, entities, cfg
+            )
+        triples = dedup_triples(build_triples(corpus4, entities4, comps))
         audit = sha_invariant_audit(corpus, triples)
         sha_ok = audit.limit(1).count() == 0
         cat.write_table(triples.repartition(n_out, "pred", "subj"), wh,
@@ -307,6 +343,7 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFram
         pstats = ck.partition_stats(cat.read_table(spark, wh, "triples")).cache()
         rows_out = sum(r["rows_out"] for r in pstats.collect())
         ck.record_stage(spark, wh, cfg.run_id, "s4",
-                        partition_stats=pstats, rows_out=rows_out, sha_ok=sha_ok)
+                        partition_stats=pstats, rows_out=rows_out, sha_ok=sha_ok,
+                        counters={"bucket_buckets": cfg.bucket_buckets})
         pstats.unpersist()
     return cat.read_table(spark, wh, "triples")

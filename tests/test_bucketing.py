@@ -40,3 +40,47 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
         assert got == {(i, i * 2, i * 3) for i in range(500)}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_pipeline_stage4_bucketed_join_no_exchange(spark, tmp_path):
+    """bucket_buckets>0: the pipeline writes corpus+entities as row_id-
+    bucketed tables; the stage-4 corpus ⋈ entities join must need no
+    Exchange on either side, and the triples must be identical to the
+    unbucketed run."""
+    from pyspark.sql import functions as F
+
+    from ht_ner_spark.corpus import synthetic_corpus
+    from ht_ner_spark.pipeline import (
+        PipelineConfig,
+        _bucket_table_name,
+        run,
+    )
+    from ht_ner_spark.storage.catalog import read_bucketed
+
+    c = synthetic_corpus(spark, 60).cache()
+    plain = run(spark, c, PipelineConfig(warehouse=str(tmp_path / "a"),
+                                         run_id="plain"))
+    bucketed = run(spark, c, PipelineConfig(warehouse=str(tmp_path / "b"),
+                                            run_id="bk", bucket_buckets=8))
+    keys = lambda df: {(r["subj"], r["pred"], r["obj"])
+                       for r in df.select("subj", "pred", "obj").collect()}
+    assert keys(plain) == keys(bucketed)
+
+    # the run must have left both bucketed tables; their row_id join plans
+    # with no Exchange (the write-side distribution replaces the shuffle)
+    ct = _bucket_table_name("bk", "corpus")
+    et = _bucket_table_name("bk", "entities")
+    assert spark.catalog.tableExists(ct) and spark.catalog.tableExists(et)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ents = read_bucketed(spark, et).select(
+            "row_id", F.explode("entities").alias("entity")
+        )
+        j = ents.join(read_bucketed(spark, ct), "row_id")
+        j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS {ct}")
+        spark.sql(f"DROP TABLE IF EXISTS {et}")
