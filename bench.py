@@ -56,7 +56,12 @@ HEADLINE = [
     "dedup_exact",
 ]
 
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "1000000"))
+# 2M rows: the pipeline's fixed multi-job floor (stage scheduling, tiny s2/s3
+# frames, convergence probes — ~15 s regardless of input size) must be small
+# against the parallel stage-1/stage-4 work for the N-vs-4N ratio to measure
+# SCALING rather than overhead amortization; profiled at 150k the floor alone
+# caps efficiency at ~0.45.
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "2000000"))
 # N and 4N task slots for the scaling-efficiency evidence. Default 2 -> 8:
 # on this 32-core box each Spark core drives a JVM task thread AND a Python
 # UDF worker, so both levels stay un-oversubscribed (local[32] would schedule
@@ -67,6 +72,18 @@ SCALING_CORES = tuple(
     int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
 )
 
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Bench warehouses live on tmpfs when available: stage-table I/O on a
+    real cluster hits node-local NVMe / parallel object storage, while this
+    sandbox's single virtio disk swings 8-500 MB/s with co-tenant load —
+    routing the (deleted-after) bench warehouse through it measures the
+    neighbors, not the engine. Override with SPARK_GRAFT_BENCH_SCRATCH."""
+    base = os.environ.get("SPARK_GRAFT_BENCH_SCRATCH") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 def _session(cores: int):
     from ht_ner_spark.session import get_spark
@@ -87,7 +104,7 @@ def run_pipeline(spark, n_rows: int, warmup_rows: int = 2000) -> dict:
 
     par = spark.sparkContext.defaultParallelism * 2
     if warmup_rows:
-        wwh = tempfile.mkdtemp(prefix="htner_warm_")
+        wwh = _scratch_dir("htner_warm_")
         try:
             run(spark, synthetic_corpus(spark, warmup_rows, partitions=par),
                 PipelineConfig(warehouse=wwh, run_id="warmup")).count()
@@ -96,7 +113,7 @@ def run_pipeline(spark, n_rows: int, warmup_rows: int = 2000) -> dict:
 
     corpus = synthetic_corpus(spark, n_rows, partitions=par).cache()
     corpus.count()  # materialize input outside the timed window
-    wh = tempfile.mkdtemp(prefix="htner_bench_")
+    wh = _scratch_dir("htner_bench_")
     try:
         t0 = time.monotonic()
         triples = run(spark, corpus, PipelineConfig(warehouse=wh, run_id="bench"))
@@ -153,7 +170,7 @@ def _disk_probe_mbps() -> float:
 
 
 def _one_scaling_run(cores: int) -> dict | None:
-    wh = tempfile.mkdtemp(prefix=f"htner_scale{cores}_")
+    wh = _scratch_dir(f"htner_scale{cores}_")
     cmd = [
         _spark_submit_bin(),
         "--master", f"local[{cores}]",

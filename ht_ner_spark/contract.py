@@ -1771,6 +1771,7 @@ def oracle_sql() -> dict:
         "token_classify": SQL_TOKEN_CLASSIFY,
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
+        "kg_pipeline_triples": _sql_kg_pipeline(),
     }
 
 
@@ -1873,7 +1874,12 @@ FROM scored QUALIFY rank <= {ANN_K}
 
 def q_kg_pipeline_triples(spark, sf_dir):
     """Stage 1 + vote + triples (no warehouse IO) over the documents corpus —
-    the KG pipeline shape on driver data, checked rows-only."""
+    the FLAGSHIP pipeline shape on driver data, fully oracle-checked: the
+    driver corpus is all-lowercase, so of the fused LF battery only the
+    gazetteer (+ its J2 vote projection) and the corpus-global frequency
+    antirules fire — both SQL-expressible; the rule/caps LFs provably emit
+    nothing (their SQL-checked cased fixtures are rule_patterns /
+    caps_detectors / token_classify)."""
     from .corpus import load_documents
     from .operators.aggregate import predicted_entities, weighted_vote
     from .operators.triples import build_triples, dedup_triples
@@ -1884,3 +1890,71 @@ def q_kg_pipeline_triples(spark, sf_dir):
     mentions, votes = stage1_mentions(corpus, cfg)
     ents = predicted_entities(weighted_vote(votes))  # votes carry tok
     return dedup_triples(build_triples(corpus, ents)).select("subj", "pred", "obj", "conf")
+
+
+def _sql_kg_pipeline() -> str:
+    """DuckDB mirror of q_kg_pipeline_triples: gazetteer J2 votes (token text
+    == a surface extracted in the SAME row) minus frequency NOT_NAME votes
+    (rank <= int(V*t), Counter tie-break = (cnt DESC, first_seen ASC)),
+    weighted majority > 0, distinct lower(tok) per row, triple build with
+    load_documents' doc_uri/commit derivation."""
+    from .operators.antirules import THRESHOLDS
+
+    neg_terms = " + ".join(
+        f"(CASE WHEN r.rank <= CAST(floor(v.v * {t}) AS BIGINT) THEN 1 ELSE 0 END)"
+        for t in THRESHOLDS
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}')) AS tok,
+         unnest(range(0, len(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}')))) AS pos
+  FROM documents WHERE doc_id < 500
+),
+freq AS (
+  SELECT tok, COUNT(*) AS cnt, MIN(doc_id * 1048576 + pos) AS fs
+  FROM toks
+  WHERE lower(tok) NOT IN ({_sql_in_list(STOPWORDS)})
+    AND NOT regexp_matches(tok, '^[[:punct:]]+$')
+  GROUP BY tok
+),
+ranked AS (
+  SELECT tok, row_number() OVER (ORDER BY cnt DESC, fs ASC) AS rank FROM freq
+),
+vtot AS (SELECT COUNT(*) AS v FROM freq),
+negs AS (
+  SELECT t.doc_id, t.pos, t.tok, {neg_terms} AS n_neg
+  FROM toks t JOIN ranked r ON r.tok = t.tok CROSS JOIN vtot v
+),
+surf1 AS (
+  SELECT DISTINCT doc_id, tok FROM toks
+  WHERE lower(tok) IN ({_sql_in_list(GAZ_SINGLE)})
+),
+votes AS (
+  SELECT t.doc_id, t.pos, t.tok, 1 AS n_pos, 0 AS n_neg
+  FROM toks t JOIN surf1 s ON s.doc_id = t.doc_id AND s.tok = t.tok
+  UNION ALL
+  SELECT doc_id, pos, tok, 0, n_neg FROM negs WHERE n_neg > 0
+),
+scored AS (
+  SELECT doc_id, pos, MAX(tok) AS tok,
+         SUM(n_pos) - SUM(n_neg) AS score
+  FROM votes GROUP BY doc_id, pos
+),
+ents AS (
+  SELECT DISTINCT doc_id, lower(tok) AS entity FROM scored WHERE score > 0
+),
+uri AS (
+  SELECT doc_id, source,
+         source || '/doc/' || doc_id || '@'
+           || substr(sha256(doc_id || ':' || source), 1, 40) AS doc_uri
+  FROM documents WHERE doc_id < 500
+)
+SELECT DISTINCT subj, pred, obj, CAST(1.0 AS DOUBLE) AS conf FROM (
+  SELECT u.doc_uri AS subj, 'mentions' AS pred, e.entity AS obj
+  FROM ents e JOIN uri u USING (doc_id)
+  UNION ALL
+  SELECT e.entity AS subj, 'appears_in' AS pred, u.source AS obj
+  FROM ents e JOIN uri u USING (doc_id)
+)
+"""

@@ -73,6 +73,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                 .agg(F.min("l").alias("nl"))
                 .withColumnRenamed("dst", "v")
             )
+        # the convergence metric rides the checkpoint job itself (Observation
+        # on the materializing action) — one fewer serial job per round than
+        # a separate changed-rows count against the checkpointed frame.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_changed_{i}")
         prop = (
             labels.join(nbr_min, "v", "left")
             .select(
@@ -80,9 +86,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                 F.least(F.col("l"), F.coalesce("nl", F.col("l"))).alias("l"),
                 F.col("l").alias("l_prev"),
             )
+            .observe(obs, F.sum((F.col("l") != F.col("l_prev")).cast("long"))
+                     .alias("changed"))
             .localCheckpoint()  # cut lineage BEFORE the self-join below
         )
-        changed = prop.where(F.col("l") != F.col("l_prev")).limit(1).count()
+        changed = int(obs.get["changed"] or 0)
         labels = prop.select("v", "l")
         if changed == 0:
             break
