@@ -1558,9 +1558,14 @@ FROM documents
 """
 
 
+AUG_REPS = ["Elm Street", "Baker", "Oak Tree Lane"]  # distinct lengths: the
+# token counts below depend on WHICH replacement the run-hash picks, so the
+# oracle verifies the deterministic choice, not just the island detection.
+
+
 def q_tag_run_substitute(spark, sf_dir):
-    """AR7 (rows-only): deterministic LOC-run substitution over a tagged view
-    of the documents corpus."""
+    """AR7: deterministic LOC-run substitution over a tagged view of the
+    documents corpus (portable md5 run-hash — DuckDB-reproducible)."""
     from .operators.augment import substitute_tag_runs
 
     t = _doc_tokens(spark, sf_dir)
@@ -1573,12 +1578,63 @@ def q_tag_run_substitute(spark, sf_dir):
             .otherwise(F.lit("O")),
         ).alias("tags"),
     )
-    out = substitute_tag_runs(tagged, ["Elm Street", "Baker Road", "Oak Lane"])
+    out = substitute_tag_runs(tagged, AUG_REPS, portable_hash=True)
     return out.select(
         F.col("row_id").cast("long").alias("doc_id"),
         F.size("aug_tokens").cast("long").alias("n_aug_tokens"),
         F.size(F.filter("aug_tags", lambda x: x == "B-LOC")).cast("long").alias("n_runs"),
     )
+
+
+def _sql_tag_run_substitute() -> str:
+    rep_rows = " UNION ALL ".join(
+        f"SELECT {i + 1} AS ridx, {len(r.split())} AS rlen"
+        for i, r in enumerate(AUG_REPS)
+    )
+    return f"""
+WITH {_SQL_TOKS},
+tagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN length(tok) > 6 AND pos % 7 = 0 THEN 'B-LOC'
+              WHEN length(tok) > 6 AND pos % 7 = 1 THEN 'I-LOC'
+              ELSE 'O' END AS tag
+  FROM toks
+),
+flagged AS (
+  SELECT doc_id, pos, tok, tag,
+         CASE WHEN tag IN ('B-LOC', 'I-LOC')
+                   AND (tag = 'B-LOC'
+                        OR COALESCE(lag(tag) OVER w IN ('B-LOC', 'I-LOC'), FALSE) = FALSE)
+              THEN 1
+              WHEN tag IN ('B-LOC', 'I-LOC') THEN 0
+              ELSE 1 END AS new_grp
+  FROM tagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grouped AS (
+  SELECT *, SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+),
+segs AS (
+  SELECT doc_id, grp,
+         MAX(CASE WHEN tag IN ('B-LOC', 'I-LOC') THEN 1 ELSE 0 END) AS is_target,
+         COUNT(*) AS seg_len,
+         string_agg(tok, ' ' ORDER BY pos) AS run_text
+  FROM grouped GROUP BY doc_id, grp
+),
+picked AS (
+  SELECT s.doc_id, s.is_target, s.seg_len, r.rlen
+  FROM segs s LEFT JOIN ({rep_rows}) r
+    ON s.is_target = 1
+   AND r.ridx = CAST(('0x' || substr(md5(s.run_text), 1, 8))::BIGINT
+                     % {len(AUG_REPS)} + 1 AS INT)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(CASE WHEN is_target = 1 THEN rlen ELSE seg_len END) AS BIGINT)
+         AS n_aug_tokens,
+       CAST(SUM(is_target) AS BIGINT) AS n_runs
+FROM picked GROUP BY doc_id
+"""
 
 
 # ===========================================================================
@@ -1766,6 +1822,7 @@ def oracle_sql() -> dict:
         "gpt_parse": SQL_GPT_PARSE,
         "dataset_union": SQL_DATASET_UNION,
         "stratified_kfold": SQL_STRATIFIED_KFOLD,
+        "tag_run_substitute": _sql_tag_run_substitute(),
         "partial_f1": SQL_PARTIAL_F1,
         "ad_level_iou": SQL_AD_LEVEL,
         "token_classify": SQL_TOKEN_CLASSIFY,

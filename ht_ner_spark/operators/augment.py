@@ -23,10 +23,15 @@ def substitute_tag_runs(df: DataFrame, replacements: list[str],
                         target: str = "LOC",
                         tokens_col: str = "tokens",
                         tags_col: str = "tags",
-                        id_col: str = "row_id") -> DataFrame:
+                        id_col: str = "row_id",
+                        portable_hash: bool = False) -> DataFrame:
     """-> (id, tokens, tags, aug_tokens, aug_tags): every B-target/I-target
     run replaced by a deterministic pick from ``replacements`` (whitespace
-    re-tokenized, B-/I- re-tagged); all other positions unchanged."""
+    re-tokenized, B-/I- re-tagged); all other positions unchanged.
+
+    portable_hash=True picks via md5 (bit-identical in DuckDB — the
+    correctness-oracle variant, same pattern as minhash use_md5); the
+    default xxhash64 is the faster JVM path."""
     spark_reps = F.array(*[F.lit(r) for r in replacements])
 
     t = df.select(
@@ -63,8 +68,12 @@ def substitute_tag_runs(df: DataFrame, replacements: list[str],
         F.collect_list(F.struct("pos", "tok", "tag")).alias("items"),
     )
     run_text = F.concat_ws(" ", F.transform(F.array_sort("items"), lambda x: x["tok"]))
+    if portable_hash:
+        h = F.conv(F.substring(F.md5(run_text), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(run_text)
     rep = F.element_at(
-        spark_reps, (F.pmod(F.xxhash64(run_text), F.size(spark_reps)) + 1).cast("int")
+        spark_reps, (F.pmod(h, F.size(spark_reps)) + 1).cast("int")
     )
     rep_toks = F.split(rep, r"\s+")
     rep_tags = F.transform(

@@ -49,7 +49,13 @@ def read_conll(spark: SparkSession, path: str, sep: str = r"\t",
 def read_wikiner(spark: SparkSession, path: str) -> DataFrame:
     """WikiNER shape: one DOCUMENT per line, tokens space-separated, each
     token `word|pos|tag` (src/preprocess/wikiner.py:10-22) ->
-    (file, doc_idx, tokens, pos_tags, ner_tags). Empty lines skipped."""
+    (file, doc_idx, tokens, pos_tags, ner_tags). Empty lines skipped.
+
+    The reference reads `aij-wikiner-*.bz2` via bz2.open (wikiner.py:10);
+    here compression is free: Hadoop's BZip2Codec decompresses `.bz2` text
+    sources transparently (and splittably — a multi-GB .bz2 still scans in
+    parallel), so the same call reads plain or compressed files
+    (tests/test_sources_augment_gpt.py exercises the .bz2 path)."""
     raw = spark.read.text(path).select(
         F.input_file_name().alias("file"), "value"
     ).where(F.trim("value") != "")
@@ -63,3 +69,25 @@ def read_wikiner(spark: SparkSession, path: str) -> DataFrame:
         F.transform(triples, lambda t: t[1]).alias("pos_tags"),
         F.transform(triples, lambda t: t[2]).alias("ner_tags"),
     )
+
+
+def load_hf_dataset(spark: SparkSession, dataset_name: str,
+                    split: str = "train") -> DataFrame:
+    """S8 HF-hub loader (reference: `datasets.load_dataset`,
+    /root/reference/src/dataset.py:244-321). Import-gated like HFScorer —
+    the hub client is absent in this sandbox and hub access needs network;
+    environments with `datasets` get the reference path (driver-side load of
+    the arrow table, parallelized via createDataFrame from arrow batches).
+    Offline corpora use read_conll/read_wikiner on downloaded files."""
+    try:
+        import datasets  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "load_hf_dataset needs the 'datasets' package; use "
+            "read_conll/read_wikiner on local files in environments "
+            "without it"
+        ) from e
+    import datasets as _ds  # pragma: no cover - needs hub access
+
+    d = _ds.load_dataset(dataset_name, split=split)
+    return spark.createDataFrame(d.to_pandas())

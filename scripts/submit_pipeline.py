@@ -79,9 +79,14 @@ def main() -> None:
     n_in = corpus.count()  # materialize input outside the timed window
 
     if args.warmup_rows:
+        import shutil
+
         wwh = _scratch_dir("htner_warm_")
-        run(spark, synthetic_corpus(spark, args.warmup_rows, seed=args.seed + 1),
-            PipelineConfig(warehouse=wwh, run_id="warmup")).count()
+        try:
+            run(spark, synthetic_corpus(spark, args.warmup_rows, seed=args.seed + 1),
+                PipelineConfig(warehouse=wwh, run_id="warmup")).count()
+        finally:
+            shutil.rmtree(wwh, ignore_errors=True)
 
     t0 = time.monotonic()
     triples = run(spark, corpus, PipelineConfig(warehouse=args.warehouse,

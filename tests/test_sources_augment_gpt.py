@@ -110,3 +110,31 @@ def test_substitute_tag_runs(spark):
     out2 = {r["row_id"]: (r["aug_tokens"], r["aug_tags"])
             for r in substitute_tag_runs(df, reps).collect()}
     assert out == out2
+
+
+def test_read_wikiner_bz2(spark, tmp_path):
+    """S8 bz2 variant (reference reads aij-wikiner-*.bz2 via bz2.open):
+    Hadoop's codec decompresses transparently — same reader, same rows."""
+    import bz2
+
+    body = "The|DT|O Alps|NNP|B-LOC rise|VB|O\nSee|VB|O Paris|NNP|B-LOC\n"
+    p = tmp_path / "aij-wikiner-en.bz2"
+    p.write_bytes(bz2.compress(body.encode()))
+    df = read_wikiner(spark, str(p))
+    rows = {tuple(r["tokens"]): tuple(r["ner_tags"]) for r in df.collect()}
+    assert rows == {
+        ("The", "Alps", "rise"): ("O", "B-LOC", "O"),
+        ("See", "Paris"): ("O", "B-LOC"),
+    }
+
+
+def test_hf_loader_gated(spark):
+    import pytest
+
+    from ht_ner_spark.sources.conll import load_hf_dataset
+
+    try:
+        import datasets  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            load_hf_dataset(spark, "conll2003")
