@@ -44,6 +44,20 @@ STOPWORDS = {
 PUNCT_REGEX = r"^[\p{P}\p{S}]+$"
 
 
+def word_frequency_agg(token_view: DataFrame) -> DataFrame:
+    """(tok, cnt, first_seen) — the frequency aggregation WITHOUT the global
+    rank (one hash-agg shuffle). The pipeline ranks driver-side when the
+    vocabulary fits its broadcast budget; word_frequency() below adds the
+    distributed exact rank for the oversized case."""
+    filtered = token_view.where(
+        (~F.lower("tok").isin(list(STOPWORDS))) & (~F.col("tok").rlike(PUNCT_REGEX))
+    )
+    return filtered.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("row_id") * (1 << 20) + F.col("pos")).alias("first_seen"),
+    )
+
+
 def word_frequency(token_view: DataFrame) -> DataFrame:
     """(tok, cnt, first_seen, rank) over non-stop, non-punct tokens.
     first_seen = min(row_id * 2^20 + pos) — global first occurrence for the
@@ -56,14 +70,8 @@ def word_frequency(token_view: DataFrame) -> DataFrame:
     ranks across all executors instead of one."""
     from .rank import exact_global_rank
 
-    filtered = token_view.where(
-        (~F.lower("tok").isin(list(STOPWORDS))) & (~F.col("tok").rlike(PUNCT_REGEX))
-    )
-    freq = filtered.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.col("row_id") * (1 << 20) + F.col("pos")).alias("first_seen"),
-    )
-    return exact_global_rank(freq, [F.desc("cnt"), F.asc("first_seen")], "rank")
+    return exact_global_rank(word_frequency_agg(token_view),
+                             [F.desc("cnt"), F.asc("first_seen")], "rank")
 
 
 def frequency_votes(token_view: DataFrame, freq: DataFrame,

@@ -70,23 +70,29 @@ def _frequency_inputs(corpus: DataFrame, cfg: PipelineConfig):
     sweet/create_lfs.py:17-34): one explode + hash agg shuffle. Returns
     (common_ranks dict | None, freq DataFrame | None, tview | None):
     dict when the top-k fits the broadcast budget, else the relational
-    fallback inputs."""
+    fallback inputs.
+
+    ONE Spark job on the common path: collect up to budget+1 UNRANKED
+    (tok, cnt, first_seen) aggregates — `limit(n)` returning fewer than n
+    rows proves the subset IS the whole vocabulary — and rank driver-side
+    (Counter.most_common is a driver-side sort in the reference too). The
+    distributed exact rank (operators/rank.py) is the oversized-vocabulary
+    fallback: correct at 10^9 tokens, but 3 extra jobs of pure serial floor
+    when the vocab fits in a dict (BASELINE.md: the floor is what divides
+    the N-vs-4N levels)."""
     tview = token_view(with_tokens(corpus))
-    freq = ar.word_frequency(tview)
-    # ONE job: pull up to budget+1 ranked rows. If the whole vocabulary fits,
-    # vocab_size = len(rows) and the top-k dict comes straight from them —
-    # no separate count() job (serial driver time matters: it is the
-    # non-scaling floor in the N-vs-4N measurement, BASELINE.md).
     budget = cfg.max_broadcast_vocab
-    head = freq.orderBy("rank").limit(budget + 1).collect()
+    agg = ar.word_frequency_agg(tview)
+    head = agg.limit(budget + 1).collect()
     if len(head) <= budget:
         vocab_size = len(head)
         max_k = max(int(vocab_size * t) for t in ar.THRESHOLDS)
         cutoffs = [(f"freq_{t}", int(vocab_size * t)) for t in ar.THRESHOLDS]
-        ranks = {r["tok"]: r["rank"] for r in head if r["rank"] <= max_k}
+        ordered = sorted(head, key=lambda r: (-r["cnt"], r["first_seen"]))
+        ranks = {r["tok"]: i + 1 for i, r in enumerate(ordered[:max_k])}
         return ranks, cutoffs, None, None
-    # oversized vocabulary: relational fallback (extra count job, rare path)
-    freq = freq.cache()
+    # oversized vocabulary: relational fallback (distributed exact rank)
+    freq = ar.word_frequency(tview).cache()
     vocab_size = freq.count()
     max_k = max(int(vocab_size * t) for t in ar.THRESHOLDS)
     cutoffs = [(f"freq_{t}", int(vocab_size * t)) for t in ar.THRESHOLDS]
@@ -267,12 +273,16 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFram
             rows_in = 0  # composed path: input count not observed
             mentions = cat.read_table(spark, wh, "mentions")
             votes = cat.read_table(spark, wh, "votes")
-        # per-partition lineage: one small agg over the scratch copy.
-        pstats = ck.partition_stats(mentions).cache()
-        rows_out = sum(r["rows_out"] for r in pstats.collect())
+        # per-partition lineage from the written files' parquet footers —
+        # driver-side metadata read, NO table re-scan job (mentions = the
+        # kind=m partition of the combined table on the fused path).
+        sub = os.path.join(wh, "s1_combined", "kind=m") if cfg.fused else \
+            os.path.join(wh, "mentions")
+        pstats_rows = ck.partition_stats_files(sub)
+        rows_out = sum(n for _, n in pstats_rows)
         ck.record_stage(spark, wh, cfg.run_id, "s1",
-                        partition_stats=pstats, rows_in=rows_in, rows_out=rows_out)
-        pstats.unpersist()
+                        partition_rows=pstats_rows, rows_in=rows_in,
+                        rows_out=rows_out)
     if mentions is None:
         mentions = _read_mentions(spark, wh, cfg)
         votes = _read_votes(spark, wh, cfg)
@@ -336,14 +346,18 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFram
                 spark, corpus, entities, cfg
             )
         triples = dedup_triples(build_triples(corpus4, entities4, comps))
-        audit = sha_invariant_audit(corpus, triples)
-        sha_ok = audit.limit(1).count() == 0
         cat.write_table(triples.repartition(n_out, "pred", "subj"), wh,
                         "triples", partition_by=["pred"])
-        pstats = ck.partition_stats(cat.read_table(spark, wh, "triples")).cache()
-        rows_out = sum(r["rows_out"] for r in pstats.collect())
+        # audit the WRITTEN table (what consumers will read): auditing the
+        # lazy frame before the write executed the whole stage-4 plan twice;
+        # the read-back scan prunes to the single lineage.sha column.
+        audit = sha_invariant_audit(corpus, cat.read_table(spark, wh, "triples"))
+        sha_ok = audit.limit(1).count() == 0
+        # lineage from the written files' footers (no re-scan job)
+        pstats_rows = ck.partition_stats_files(os.path.join(wh, "triples"))
+        rows_out = sum(n for _, n in pstats_rows)
         ck.record_stage(spark, wh, cfg.run_id, "s4",
-                        partition_stats=pstats, rows_out=rows_out, sha_ok=sha_ok,
+                        partition_rows=pstats_rows, rows_out=rows_out,
+                        sha_ok=sha_ok,
                         counters={"bucket_buckets": cfg.bucket_buckets})
-        pstats.unpersist()
     return cat.read_table(spark, wh, "triples")

@@ -63,15 +63,23 @@ def record_stage(
     rows_out: int = 0,
     counters: dict[str, int] | None = None,
     sha_ok: bool = True,
+    partition_rows: list[tuple[int, int]] | None = None,
 ) -> None:
     """Append checkpoint rows. ``partition_stats`` (partition_id, rows_out)
-    gives per-partition lineage; otherwise a single stage-level row is written."""
+    or ``partition_rows`` [(partition_id, rows_out)] (the no-Spark-job
+    variant from partition_stats_files) give per-partition lineage;
+    otherwise a single stage-level row is written."""
     ts = _dt.datetime.now(_dt.timezone.utc).isoformat()
-    if partition_stats is not None:
+    if partition_stats is not None or partition_rows is not None:
+        if partition_rows is None:
+            partition_rows = [
+                (int(r["partition_id"]), int(r["rows_out"]))
+                for r in partition_stats.collect()
+            ]
         rows = [
-            (run_id, stage, int(r["partition_id"]), int(rows_in), int(r["rows_out"]),
+            (run_id, stage, int(pid), int(rows_in), int(n),
              counters or {}, bool(sha_ok), ts)
-            for r in partition_stats.collect()
+            for pid, n in partition_rows
         ]
         if not rows:
             rows = [(run_id, stage, -1, int(rows_in), 0, counters or {}, bool(sha_ok), ts)]
@@ -121,6 +129,21 @@ def partition_stats(df: DataFrame) -> DataFrame:
         .groupBy("partition_id")
         .agg(F.count(F.lit(1)).alias("rows_out"))
     )
+
+
+def partition_stats_files(path: str) -> list[tuple[int, int]]:
+    """(partition_id, rows_out) per OUTPUT FILE of a written stage table,
+    from parquet footers only (pyarrow, driver-side, zero Spark jobs).
+
+    Replaces the post-write `partition_stats` table re-scan in the pipeline:
+    per-partition lineage of a stage WRITE is a property of the files the
+    write produced, and parquet already stores exact per-file row counts —
+    re-reading the whole table to count it was two corpus-scale jobs per
+    run (s1 mentions + s4 triples) inside the timed window."""
+    import pyarrow.dataset as ds
+
+    d = ds.dataset(path, format="parquet", partitioning="hive")
+    return [(i, frag.count_rows()) for i, frag in enumerate(d.get_fragments())]
 
 
 def read_checkpoints(spark: SparkSession, warehouse: str) -> DataFrame:
