@@ -1759,7 +1759,6 @@ def queries() -> dict:
         "split_assign": q_split_assign,
         "entity_string_parse": q_entity_string_parse,
         "truncate_words": q_truncate_words,
-        # non-SQL-expressible (rows-only checks): Arrow UDF / iterative paths
         "fill_mask_score": q_fill_mask_score,
         "preprocess_chain": q_preprocess,
         "detokenize": q_detokenize,
@@ -1773,13 +1772,13 @@ def queries() -> dict:
         "tag_run_substitute": q_tag_run_substitute,
         "partial_f1": q_partial_f1,
         "ad_level_iou": q_ad_level,
-        # rows-only (no SQL oracle possible):
         "trie_gazetteer": q_trie_gazetteer,
-        "media_features": q_media_features,
         "ann_bucketed": q_ann_bucketed,
         "kg_pipeline_triples": q_kg_pipeline_triples,
-        "hmm_entities": q_hmm_entities,
         "token_classify": q_token_classify,
+        # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
+        "media_features": q_media_features,
+        "hmm_entities": q_hmm_entities,
     }
 
 
