@@ -1968,7 +1968,7 @@ WITH toks AS (
   FROM documents WHERE doc_id < 500
 ),
 freq AS (
-  SELECT tok, COUNT(*) AS cnt, MIN(doc_id * 1048576 + pos) AS fs
+  SELECT tok, COUNT(*) AS cnt, MIN({{'r': doc_id, 'p': pos}}) AS fs
   FROM toks
   WHERE lower(tok) NOT IN ({_sql_in_list(STOPWORDS)})
     AND NOT regexp_matches(tok, '^[[:punct:]]+$')

@@ -48,20 +48,30 @@ def word_frequency_agg(token_view: DataFrame) -> DataFrame:
     """(tok, cnt, first_seen) — the frequency aggregation WITHOUT the global
     rank (one hash-agg shuffle). The pipeline ranks driver-side when the
     vocabulary fits its broadcast budget; word_frequency() below adds the
-    distributed exact rank for the oversized case."""
+    distributed exact rank for the oversized case.
+
+    ``first_seen`` is the lexicographic MIN of struct(row_id, pos) — the
+    global first occurrence. A struct min (not an arithmetic encoding like
+    ``row_id * 2^20 + pos``): multi-MB web/code documents exceed 2^20 tokens,
+    and real corpus row_ids are xxhash64 values whose multiplication
+    overflows a long (an error under Spark 4 ANSI mode, silent drift
+    otherwise). Struct comparison is exact at any document length or id."""
     filtered = token_view.where(
         (~F.lower("tok").isin(list(STOPWORDS))) & (~F.col("tok").rlike(PUNCT_REGEX))
     )
     return filtered.groupBy("tok").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.min(F.col("row_id") * (1 << 20) + F.col("pos")).alias("first_seen"),
+        F.min(
+            F.struct(F.col("row_id").alias("r"),
+                     F.col("pos").cast("long").alias("p"))
+        ).alias("first_seen"),
     )
 
 
 def word_frequency(token_view: DataFrame) -> DataFrame:
     """(tok, cnt, first_seen, rank) over non-stop, non-punct tokens.
-    first_seen = min(row_id * 2^20 + pos) — global first occurrence for the
-    Counter-insertion-order tie-break (documents < 2^20 tokens each).
+    first_seen = min(struct(row_id, pos)) — global first occurrence for the
+    Counter-insertion-order tie-break (exact at any document length).
 
     The rank is an EXACT global row_number but computed distributed
     (range-sort + partition prefix offsets, operators/rank.py): (cnt,

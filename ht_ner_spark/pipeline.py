@@ -88,7 +88,11 @@ def _frequency_inputs(corpus: DataFrame, cfg: PipelineConfig):
         vocab_size = len(head)
         max_k = max(int(vocab_size * t) for t in ar.THRESHOLDS)
         cutoffs = [(f"freq_{t}", int(vocab_size * t)) for t in ar.THRESHOLDS]
-        ordered = sorted(head, key=lambda r: (-r["cnt"], r["first_seen"]))
+        # first_seen is a struct(r=row_id, p=pos) Row — compare as a tuple
+        ordered = sorted(
+            head,
+            key=lambda r: (-r["cnt"], (r["first_seen"]["r"], r["first_seen"]["p"])),
+        )
         ranks = {r["tok"]: i + 1 for i, r in enumerate(ordered[:max_k])}
         return ranks, cutoffs, None, None
     # oversized vocabulary: relational fallback (distributed exact rank)
@@ -203,25 +207,34 @@ def _read_votes(spark: SparkSession, wh: str, cfg: PipelineConfig) -> DataFrame:
     return cat.read_table(spark, wh, "votes")
 
 
-def _bucket_table_name(run_id: str, table: str) -> str:
+def _bucket_table_name(warehouse: str, run_id: str, table: str) -> str:
+    """Session-catalog name for a run's bucketed stage-4 input. Sanitizing
+    alone collides ('a-b' and 'a.b' both -> 'a_b'), and run_ids repeat across
+    warehouses, so a short hash of (warehouse, run_id) disambiguates."""
+    import hashlib
     import re
 
-    return re.sub(r"[^0-9a-zA-Z_]", "_", f"b_{run_id}_{table}")
+    tag = hashlib.sha256(f"{warehouse}\0{run_id}".encode()).hexdigest()[:10]
+    return re.sub(r"[^0-9a-zA-Z_]", "_", f"b_{run_id}") + f"_{tag}_{table}"
 
 
 def _bucketed_stage4_inputs(spark: SparkSession, corpus: DataFrame,
                             entities: DataFrame, cfg: PipelineConfig
                             ) -> tuple[DataFrame, DataFrame]:
-    """Write corpus + entities as row_id-bucketed tables (once per run) and
-    return bucketed readers: the stage-4 row_id join then needs no Exchange
-    on either side (asserted by tests/test_bucketing.py)."""
+    """Write corpus + entities as row_id-bucketed tables and return bucketed
+    readers: the stage-4 row_id join then needs no Exchange on either side
+    (asserted by tests/test_bucketing.py).
+
+    The write is UNCONDITIONAL overwrite: an exists-skip keyed on table name
+    silently joined stage 4 against a stale bucketed corpus when a later
+    run() in the same session reused a run_id with a different input. Stage
+    4 itself is already resume-gated ('s4' in completed stages), so a true
+    resume never reaches this code path twice."""
     n = cfg.bucket_buckets
-    ct = _bucket_table_name(cfg.run_id, "corpus")
-    et = _bucket_table_name(cfg.run_id, "entities")
-    if not spark.catalog.tableExists(ct):
-        cat.write_bucketed(corpus, ct, ["row_id"], n, sort_cols=["row_id"])
-    if not spark.catalog.tableExists(et):
-        cat.write_bucketed(entities, et, ["row_id"], n, sort_cols=["row_id"])
+    ct = _bucket_table_name(cfg.warehouse, cfg.run_id, "corpus")
+    et = _bucket_table_name(cfg.warehouse, cfg.run_id, "entities")
+    cat.write_bucketed(corpus, ct, ["row_id"], n, sort_cols=["row_id"])
+    cat.write_bucketed(entities, et, ["row_id"], n, sort_cols=["row_id"])
     return cat.read_bucketed(spark, ct), cat.read_bucketed(spark, et)
 
 
@@ -282,7 +295,7 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFram
         rows_out = sum(n for _, n in pstats_rows)
         ck.record_stage(spark, wh, cfg.run_id, "s1",
                         partition_rows=pstats_rows, rows_in=rows_in,
-                        rows_out=rows_out)
+                        rows_out=rows_out, counters=ck.LINEAGE_SOURCE_FILES)
     if mentions is None:
         mentions = _read_mentions(spark, wh, cfg)
         votes = _read_votes(spark, wh, cfg)
@@ -359,5 +372,6 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFram
         ck.record_stage(spark, wh, cfg.run_id, "s4",
                         partition_rows=pstats_rows, rows_out=rows_out,
                         sha_ok=sha_ok,
-                        counters={"bucket_buckets": cfg.bucket_buckets})
+                        counters={"bucket_buckets": cfg.bucket_buckets,
+                                  **ck.LINEAGE_SOURCE_FILES})
     return cat.read_table(spark, wh, "triples")

@@ -48,7 +48,14 @@ def write_table(
             from pyspark.sql import functions as F
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         if dynamic_overwrite:
-            writer.overwritePartitions()
+            # first micro-batch of a stream: the table does not exist yet and
+            # overwritePartitions() would fail with table-not-found — create
+            # it, then later batches overwrite only their own partitions
+            # (ADVICE r2: stream_stage1 could never create its Iceberg table)
+            if not df.sparkSession.catalog.tableExists(f"{cat}.{name}"):
+                writer.createOrReplace()
+            else:
+                writer.overwritePartitions()
         else:
             writer.createOrReplace()
         return

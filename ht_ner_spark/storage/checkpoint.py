@@ -139,11 +139,26 @@ def partition_stats_files(path: str) -> list[tuple[int, int]]:
     per-partition lineage of a stage WRITE is a property of the files the
     write produced, and parquet already stores exact per-file row counts —
     re-reading the whole table to count it was two corpus-scale jobs per
-    run (s1 mentions + s4 triples) inside the timed window."""
+    run (s1 mentions + s4 triples) inside the timed window.
+
+    partition_id here is the FILE index under path-sorted order — stable
+    across re-reads (pyarrow fragment enumeration order is not guaranteed)
+    and recoverable from the file list. It is a different id space from
+    Spark partition ids (record_stage with partition_stats) and streaming
+    batch ids; callers mark the source via the LINEAGE_SOURCE_* counter so
+    one checkpoint column never mixes unlabeled id semantics (ADVICE r2)."""
     import pyarrow.dataset as ds
 
     d = ds.dataset(path, format="parquet", partitioning="hive")
-    return [(i, frag.count_rows()) for i, frag in enumerate(d.get_fragments())]
+    frags = sorted(d.get_fragments(), key=lambda f: f.path)
+    return [(i, frag.count_rows()) for i, frag in enumerate(frags)]
+
+
+# values for the 'lineage_source' counter recorded with per-partition rows:
+# which id space the partition_id column of those checkpoint rows lives in.
+LINEAGE_SOURCE_FILES = {"lineage_source_files": 1}      # file index (sorted)
+LINEAGE_SOURCE_SPARK = {"lineage_source_spark": 1}      # spark_partition_id()
+LINEAGE_SOURCE_BATCH = {"lineage_source_batch": 1}      # streaming batch_id
 
 
 def read_checkpoints(spark: SparkSession, warehouse: str) -> DataFrame:

@@ -89,7 +89,7 @@ def stream_stage1(spark: SparkSession, corpus_dir: str, warehouse: str,
         ck.record_stage(
             spark, warehouse, run_id, "s1-stream",
             rows_out=combined.count(),
-            counters={"batch_id": int(batch_id)},
+            counters={"batch_id": int(batch_id), **ck.LINEAGE_SOURCE_BATCH},
         )
 
     q = (

@@ -68,8 +68,8 @@ def test_pipeline_stage4_bucketed_join_no_exchange(spark, tmp_path):
 
     # the run must have left both bucketed tables; their row_id join plans
     # with no Exchange (the write-side distribution replaces the shuffle)
-    ct = _bucket_table_name("bk", "corpus")
-    et = _bucket_table_name("bk", "entities")
+    ct = _bucket_table_name(str(tmp_path / "b"), "bk", "corpus")
+    et = _bucket_table_name(str(tmp_path / "b"), "bk", "entities")
     assert spark.catalog.tableExists(ct) and spark.catalog.tableExists(et)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -84,3 +84,39 @@ def test_pipeline_stage4_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql(f"DROP TABLE IF EXISTS {ct}")
         spark.sql(f"DROP TABLE IF EXISTS {et}")
+
+
+def test_bucket_table_name_collision_free():
+    """ADVICE r2: 'a-b' and 'a.b' sanitized to the same name; distinct
+    warehouses with the same run_id shared tables. The hash tag makes all
+    four distinct."""
+    from ht_ner_spark.pipeline import _bucket_table_name
+
+    names = {
+        _bucket_table_name("/w1", "a-b", "corpus"),
+        _bucket_table_name("/w1", "a.b", "corpus"),
+        _bucket_table_name("/w2", "a-b", "corpus"),
+        _bucket_table_name("/w2", "a.b", "corpus"),
+    }
+    assert len(names) == 4
+
+
+def test_stage4_bucketed_no_stale_reuse(spark, tmp_path):
+    """ADVICE r2 (medium): a second run() in the same session reusing a
+    run_id with a DIFFERENT corpus must not join stage 4 against the stale
+    bucketed tables of the first run."""
+    from ht_ner_spark.corpus import synthetic_corpus
+    from ht_ner_spark.pipeline import PipelineConfig, run
+
+    keys = lambda df: {(r["subj"], r["pred"], r["obj"])
+                       for r in df.select("subj", "pred", "obj").collect()}
+    c1 = synthetic_corpus(spark, 40).cache()
+    c2 = synthetic_corpus(spark, 90).cache()
+    run(spark, c1, PipelineConfig(warehouse=str(tmp_path / "w1"),
+                                  run_id="bench", bucket_buckets=4))
+    got = run(spark, c2, PipelineConfig(warehouse=str(tmp_path / "w2"),
+                                        run_id="bench", bucket_buckets=4))
+    ref = run(spark, c2, PipelineConfig(warehouse=str(tmp_path / "w3"),
+                                        run_id="ref"))
+    assert keys(got) == keys(ref)
+    c1.unpersist(); c2.unpersist()
