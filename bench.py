@@ -147,7 +147,33 @@ def _spark_submit_bin() -> str:
     return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
 
 
-SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+# FIXED number of interleaved (lo,hi) pairs — round-2's advisor flagged the
+# previous clear-the-target-and-stop loop as optional stopping (stop on the
+# first lucky window, keep sampling when unlucky -> upward-biased best-of).
+# Five pairs always run; the headline efficiency is MEDIAN-based, best-of is
+# reported alongside for reference. Protocol pinned round 3: 600k rows,
+# cores 2->8, 5 pairs — keep these constants across rounds so BENCH_r{N}
+# artifacts stay apples-to-apples.
+SCALING_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "5"))
+
+
+def _cpu_probe_sec() -> float:
+    """Pinned single-core CPU calibration (same fixed work every round):
+    sha256 over 512 MB of constant bytes + a 2M-iteration pure-Python loop.
+    Recorded before/after the scaling campaign so a cross-round wall-time
+    regression can be attributed (host degraded vs code got slower) — the
+    round-2 artifact could not separate the two (VERDICT r2 wrong-#2)."""
+    import hashlib
+
+    buf = b"\x5a" * (32 * 1024 * 1024)
+    t0 = time.monotonic()
+    h = hashlib.sha256()
+    for _ in range(16):
+        h.update(buf)
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 31 + i) & 0xFFFFFFFF
+    return round(time.monotonic() - t0, 3)
 
 
 def _disk_probe_mbps() -> float:
@@ -172,7 +198,8 @@ def _disk_probe_mbps() -> float:
             pass
 
 
-def _one_scaling_run(cores: int) -> dict | None:
+def _one_scaling_run(cores: int, extra_args: tuple[str, ...] = (),
+                     rows: int | None = None) -> dict | None:
     wh = _scratch_dir(f"htner_scale{cores}_")
     cmd = [
         _spark_submit_bin(),
@@ -196,8 +223,10 @@ def _one_scaling_run(cores: int) -> dict | None:
         "--conf", f"spark.driver.memory={max(8, 4 * cores)}g",
         "--py-files", os.path.join(REPO, "dist", "ht_ner_spark.zip"),
         os.path.join(REPO, "scripts", "submit_pipeline.py"),
-        "--rows", str(SCALING_ROWS), "--warehouse", wh,
+        "--rows", str(rows if rows is not None else SCALING_ROWS),
+        "--warehouse", wh,
         "--run-id", f"scale{cores}",
+        *extra_args,
     ]
     try:
         # a hard timeout per run: a rare pyspark Arrow writer/reader race has
@@ -218,63 +247,164 @@ def _one_scaling_run(cores: int) -> dict | None:
         return None
 
 
-SCALING_MAX_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_REPEATS", "8"))
-SCALING_TARGET = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET", "0.85"))
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def _level_stats(runs: list[dict], cores: int) -> dict | None:
+    ts = [r["triples_per_sec"] for r in runs
+          if r["cores"] == cores and r.get("triples_per_sec")]
+    if not ts:
+        return None
+    secs = [r["sec"] for r in runs if r["cores"] == cores and r.get("sec")]
+    return {"n": len(ts), "median_tps": round(_median(ts), 2),
+            "best_tps": round(max(ts), 2), "median_sec": round(_median(secs), 3),
+            "best_sec": round(min(secs), 3)}
+
+
+def _stage_decomposition(runs: list[dict], lo_c: int, hi_c: int) -> dict:
+    """Per-stage MEDIAN wall at each level + per-stage scaling efficiency
+    ((t_lo/t_hi)/(hi/lo)). Shows which stages scale with cores and which are
+    the fixed multi-job floor — the committed evidence the round-2 verdict
+    asked for ('end-to-end number plus a per-stage decomposition')."""
+    out: dict = {}
+    keys = sorted({k for r in runs for k in (r.get("stage_sec") or {})})
+    ratio = hi_c / lo_c
+    for k in keys:
+        lo = [r["stage_sec"][k] for r in runs
+              if r["cores"] == lo_c and k in (r.get("stage_sec") or {})]
+        hi = [r["stage_sec"][k] for r in runs
+              if r["cores"] == hi_c and k in (r.get("stage_sec") or {})]
+        if not lo or not hi:
+            continue
+        mlo, mhi = _median(lo), _median(hi)
+        out[k] = {"median_sec_lo": round(mlo, 3), "median_sec_hi": round(mhi, 3),
+                  "efficiency": round((mlo / mhi) / ratio, 3) if mhi > 0 else None}
+    return out
 
 
 def _scaling_summary(runs: list[dict], lo_c: int, hi_c: int) -> dict | None:
-    lo_runs = [r for r in runs if r["cores"] == lo_c and r.get("triples_per_sec")]
-    hi_runs = [r for r in runs if r["cores"] == hi_c and r.get("triples_per_sec")]
-    if not lo_runs or not hi_runs:
+    lo = _level_stats(runs, lo_c)
+    hi = _level_stats(runs, hi_c)
+    if lo is None or hi is None:
         return None
-    lo = max(lo_runs, key=lambda r: r["triples_per_sec"])
-    hi = max(hi_runs, key=lambda r: r["triples_per_sec"])
-    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (hi_c / lo_c)
-    return {"cores_lo": lo_c, "cores_hi": hi_c, "rows": SCALING_ROWS,
-            "thrpt_lo": lo["triples_per_sec"], "thrpt_hi": hi["triples_per_sec"],
-            "sec_lo": lo["sec"], "sec_hi": hi["sec"],
-            "efficiency": round(eff, 3)}
+    ratio = hi_c / lo_c
+    return {
+        "cores_lo": lo_c, "cores_hi": hi_c, "rows": SCALING_ROWS,
+        "pairs": SCALING_PAIRS,
+        # headline: median per-level throughput (robust; advisor r2)
+        "thrpt_lo": lo["median_tps"], "thrpt_hi": hi["median_tps"],
+        "sec_lo": lo["median_sec"], "sec_hi": hi["median_sec"],
+        "efficiency": round((hi["median_tps"] / lo["median_tps"]) / ratio, 3),
+        # best-of for reference (upper bound under co-tenant noise)
+        "best_thrpt_lo": lo["best_tps"], "best_thrpt_hi": hi["best_tps"],
+        "efficiency_best": round((hi["best_tps"] / lo["best_tps"]) / ratio, 3),
+        "levels": {str(lo_c): lo, str(hi_c): hi},
+        "stages": _stage_decomposition(runs, lo_c, hi_c),
+    }
 
 
 def scaling_run() -> dict | None:
     """Same job via spark-submit --py-files (north_rule run shape), two
     parallelism levels, fresh JVM each — the sandbox stand-in for N vs 4N
-    executors. Levels ALTERNATE and repeat (lo,hi,lo,hi): the shared host's
-    throughput swings 2-3x minute-to-minute (disk probes on this box have
-    recorded 20-500 MB/s around a single bench), so only tightly interleaved
-    runs are comparable; efficiency uses the best throughput per level and
-    every individual run is reported.
-
-    ADAPTIVE repeats: pairs keep running (up to SCALING_MAX_REPEATS) until
-    the best-of efficiency clears SCALING_TARGET (0.85 — margin over the 0.8
-    north-rule gate). A noisy co-tenant window can sink any one pair; it
-    cannot sink five interleaved pairs unless the slowdown is real. All runs
-    are recorded in the artifact either way."""
+    executors. A FIXED number of (lo,hi) pairs run tightly interleaved (the
+    shared host's throughput swings 2-3x minute-to-minute; disk probes around
+    a single bench have recorded 8-500 MB/s), the headline efficiency is the
+    MEDIAN per-level throughput ratio, and every individual run — including
+    its per-stage decomposition, disk probes, and a fixed single-core CPU
+    calibration — lands in the artifact. No target-conditioned stopping."""
     subprocess.run(["bash", os.path.join(REPO, "scripts", "make_pyfiles.sh")],
                    check=True, capture_output=True)
     lo_c, hi_c = SCALING_CORES
     disk_before = _disk_probe_mbps()
+    cpu_before = _cpu_probe_sec()
     runs: list[dict] = []
-    for rep in range(max(1, SCALING_MAX_REPEATS)):
+    for _rep in range(max(1, SCALING_PAIRS)):
         for cores in (lo_c, hi_c):
             r = _one_scaling_run(cores)
             if r is not None:
                 r["cores"] = cores
                 runs.append(r)
-        s = _scaling_summary(runs, lo_c, hi_c)
-        if (rep + 1 >= max(1, SCALING_REPEATS) and s is not None
-                and s["efficiency"] >= SCALING_TARGET):
-            break
     disk_after = _disk_probe_mbps()
+    cpu_after = _cpu_probe_sec()
     s = _scaling_summary(runs, lo_c, hi_c)
     if s is None:
         return None
     s.update({
-        "runs": [{k: r[k] for k in ("cores", "sec", "triples_per_sec")}
+        "runs": [{k: r[k] for k in ("cores", "sec", "triples_per_sec",
+                                    "stage_sec") if k in r}
                  for r in runs],
         "disk_mbps_before": disk_before, "disk_mbps_after": disk_after,
+        "cpu_probe_sec_before": cpu_before, "cpu_probe_sec_after": cpu_after,
     })
     return s
+
+
+def variant_runs() -> dict:
+    """One spark-submit run per engine variant at a fixed modest size, same
+    cores — publishes the cost of the alternates the engine ships (VERDICT r2
+    #5): 'hmm' = distributed Baum-Welch vote aggregation, 'bucketed' =
+    row_id-bucketed no-Exchange stage-4 join. 'default' at the same size
+    anchors the comparison."""
+    rows = int(os.environ.get("SPARK_GRAFT_VARIANT_ROWS", "150000"))
+    cores = SCALING_CORES[-1]
+    out: dict = {"rows": rows, "cores": cores}
+    for name, extra in (("default", ()),
+                        ("hmm", ("--aggregator", "hmm")),
+                        ("bucketed", ("--bucket-buckets", "8"))):
+        r = _one_scaling_run(cores, extra_args=extra, rows=rows)
+        if r:
+            out[name] = {"sec": r["sec"], "triples_per_sec": r["triples_per_sec"],
+                         "triples": r["triples"], "stage_sec": r.get("stage_sec")}
+    return out
+
+
+def fused_labeler_microbench(spark, rows: int = 4000) -> dict:
+    """tokens/s/core of the fused stage-1 labeler's inner loop — the engine's
+    CPU floor at 100x scale (VERDICT r2 #6). Runs the exact per-batch code
+    (tokenize + _label_row) single-threaded in THIS Python process over
+    synthetic corpus text collected once; no Spark task scheduling in the
+    timed window, so the number is per-core and comparable across rounds.
+    PLANS.md documents the C-extension path (ahocorasick) a production
+    deployment would swap into this loop."""
+    import re as _re
+
+    from ht_ner_spark.corpus import DEFAULT_GAZETTEER, synthetic_corpus
+    from ht_ner_spark.operators.fused import _label_row
+    from ht_ner_spark.operators.gazetteer import build_trie
+    from ht_ner_spark.operators.tokens import TOKEN_PATTERN
+
+    from collections import Counter
+
+    from ht_ner_spark.operators.antirules import THRESHOLDS
+
+    texts = [r["content"] for r in
+             synthetic_corpus(spark, rows).select("content").collect()]
+    trie = build_trie(dict(DEFAULT_GAZETTEER))
+    tok_re = _re.compile(TOKEN_PATTERN)
+    # frequency ranks + cutoffs exactly as the pipeline broadcasts them —
+    # without these the antirule vote branch never fires and the number
+    # overstates the loop
+    cnt = Counter(t for txt in texts for t in tok_re.findall(txt or ""))
+    max_k = max(int(len(cnt) * t) for t in THRESHOLDS)
+    cutoffs = [(f"freq_{t}", int(len(cnt) * t)) for t in THRESHOLDS]
+    ranks = {tok: i + 1 for i, (tok, _) in enumerate(cnt.most_common(max_k))}
+    n_toks = 0
+    t0 = time.monotonic()
+    for row_id, text in enumerate(texts):
+        matches = list(tok_re.finditer(text or ""))
+        toks = [m.group(0) for m in matches]
+        n_toks += len(toks)
+        out: list = []
+        _label_row(row_id, toks, [t.lower() for t in toks],
+                   [m.start() for m in matches], [m.end() for m in matches],
+                   trie, cutoffs, ranks, out)
+    sec = time.monotonic() - t0
+    return {"rows": rows, "tokens": n_toks, "sec": round(sec, 3),
+            "tokens_per_sec_core": round(n_toks / sec, 1) if sec > 0 else None,
+            "rows_per_sec_core": round(rows / sec, 1) if sec > 0 else None}
 
 
 def main() -> None:
@@ -306,15 +436,20 @@ def main() -> None:
                                                   "20000")), warmup_rows=0)
     timings["kg_pipeline"] = pipe["sec"]
     total += pipe["sec"]
+    micro = fused_labeler_microbench(spark)
     spark.stop()
 
     scaling = None
+    variants = None
     if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
         scaling = scaling_run()
+        variants = variant_runs()
     if scaling:
-        # authoritative throughput: the spark-submit run at the higher
-        # parallelism with un-oversubscribed threads (BASELINE.md protocol)
-        pipe = {**pipe, "best_triples_per_sec": scaling["thrpt_hi"],
+        # authoritative throughput: the spark-submit runs at the higher
+        # parallelism with un-oversubscribed threads (BASELINE.md protocol);
+        # median is the headline, best-of is the noise-window upper bound
+        pipe = {**pipe, "median_triples_per_sec": scaling["thrpt_hi"],
+                "best_triples_per_sec": scaling["best_thrpt_hi"],
                 "best_cores": scaling["cores_hi"], "best_rows": scaling["rows"]}
 
     out = {
@@ -326,6 +461,8 @@ def main() -> None:
         "cores": cores,
         "pipeline": pipe,
         "scaling": scaling,
+        "variants": variants,
+        "fused_labeler_1core": micro,
     }
     print(json.dumps(out))
 

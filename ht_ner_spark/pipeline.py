@@ -14,6 +14,8 @@ recorded for the same run_id (resume = restart with the same run_id).
 from __future__ import annotations
 
 import os
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -247,7 +249,71 @@ def _observed_count(df: DataFrame, name: str):
     return df.observe(obs, F.count(F.lit(1)).alias("n")), obs
 
 
-def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def near_dup_run(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
+                 text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+                 num_bands: int = 8, min_shared_bands: int = 2,
+                 max_block: int = 500) -> DataFrame:
+    """Checkpointed MinHash near-duplicate pass over a documents frame.
+
+    The standalone operator RETURNS (pairs, dropped_blocks); run as a
+    pipeline entry the dropped-block count is also durably RECORDED in the
+    run's checkpoint counters — a 100 TB dedup whose hub-skew guard silently
+    discards blocks is unauditable. Resume-gated like the KG stages."""
+    from .operators import dedup as dd
+
+    wh = cfg.warehouse
+    os.makedirs(wh, exist_ok=True)
+    if "dedup" not in ck.completed_stages(spark, wh, cfg.run_id):
+        sigs = dd.doc_minhash(docs, text_col=text_col, id_col=id_col, k=k,
+                              num_bands=num_bands)
+        pairs, dropped = dd.minhash_dupe_pairs(
+            sigs, min_shared_bands=min_shared_bands, max_block=max_block)
+        pairs, obs = _observed_count(pairs, "dedup")
+        cat.write_table(pairs, wh, "dup_pairs")
+        ck.record_stage(spark, wh, cfg.run_id, "dedup", rows_out=obs.get["n"],
+                        counters={"dropped_blocks": dropped.count(),
+                                  "max_block": max_block})
+    return cat.read_table(spark, wh, "dup_pairs")
+
+
+def embedding_dedup_run(spark: SparkSession, vectors: DataFrame,
+                        cfg: PipelineConfig, min_cosine: float = 0.95,
+                        bits: int = 6, max_block: int = 1000) -> DataFrame:
+    """Checkpointed embedding near-duplicate pass (sign-bucket blocking +
+    exact cosine verify); dropped oversized buckets land in checkpoint
+    counters, same contract as near_dup_run."""
+    from .operators.similarity import embedding_near_dupes
+
+    wh = cfg.warehouse
+    os.makedirs(wh, exist_ok=True)
+    if "embdedup" not in ck.completed_stages(spark, wh, cfg.run_id):
+        pairs, dropped = embedding_near_dupes(
+            vectors, min_cosine=min_cosine, bits=bits, max_block=max_block)
+        pairs, obs = _observed_count(pairs, "embdedup")
+        cat.write_table(pairs, wh, "emb_dup_pairs")
+        ck.record_stage(spark, wh, cfg.run_id, "embdedup",
+                        rows_out=obs.get["n"],
+                        counters={"dropped_blocks": dropped.count(),
+                                  "max_block": max_block})
+    return cat.read_table(spark, wh, "emb_dup_pairs")
+
+
+@contextmanager
+def _timed(timings: dict | None, key: str):
+    """Record a stage block's wall time into ``timings`` (no-op when None).
+    Stage blocks end in an action (table write / checkpoint record), so the
+    block wall IS the stage wall — used by the bench to decompose end-to-end
+    scaling into per-stage scaling (BASELINE.md protocol)."""
+    t0 = time.monotonic()
+    try:
+        yield
+    finally:
+        if timings is not None:
+            timings[key] = round(time.monotonic() - t0, 3)
+
+
+def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig,
+        timings: dict | None = None) -> DataFrame:
     """Execute (or resume) the full pipeline; returns the triples DataFrame
     read back from the warehouse.
 
@@ -262,40 +328,41 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFram
     # ---- stage 1
     mentions = votes = None
     if "s1" not in done:
-        if cfg.fused:
-            # ONE corpus pass, ONE write: the combined mention+vote frame IS
-            # the stage-1 table; mentions/votes are kind-filtered projections
-            # of the stored copy. partitionBy(kind) prunes those reads at
-            # directory level (no repartition — each task writes both kind
-            # dirs, write parallelism intact). NOTE: a localCheckpoint of
-            # this frame was tried and is 4x SLOWER — 26M rows pinned as
-            # deserialized JVM objects blow the heap; the columnar zstd
-            # round-trip through the stored table is the cheap path.
-            corpus_in, in_obs = _observed_count(corpus, "s1_in")
-            combined, extra_votes = stage1_combined(corpus_in, cfg)
-            cat.write_table(combined, wh, "s1_combined", partition_by=["kind"])
-            rows_in = int(in_obs.get["n"])
-            if extra_votes is not None:
-                cat.write_table(extra_votes, wh, "votes_extra")
-            mentions = _read_mentions(spark, wh, cfg)
-            votes = _read_votes(spark, wh, cfg)
-        else:
-            mentions, votes = stage1_mentions(corpus, cfg)
-            cat.write_table(mentions, wh, "mentions")
-            cat.write_table(votes, wh, "votes")
-            rows_in = 0  # composed path: input count not observed
-            mentions = cat.read_table(spark, wh, "mentions")
-            votes = cat.read_table(spark, wh, "votes")
-        # per-partition lineage from the written files' parquet footers —
-        # driver-side metadata read, NO table re-scan job (mentions = the
-        # kind=m partition of the combined table on the fused path).
-        sub = os.path.join(wh, "s1_combined", "kind=m") if cfg.fused else \
-            os.path.join(wh, "mentions")
-        pstats_rows = ck.partition_stats_files(sub)
-        rows_out = sum(n for _, n in pstats_rows)
-        ck.record_stage(spark, wh, cfg.run_id, "s1",
-                        partition_rows=pstats_rows, rows_in=rows_in,
-                        rows_out=rows_out, counters=ck.LINEAGE_SOURCE_FILES)
+        with _timed(timings, "s1"):
+            if cfg.fused:
+                # ONE corpus pass, ONE write: the combined mention+vote frame IS
+                # the stage-1 table; mentions/votes are kind-filtered projections
+                # of the stored copy. partitionBy(kind) prunes those reads at
+                # directory level (no repartition — each task writes both kind
+                # dirs, write parallelism intact). NOTE: a localCheckpoint of
+                # this frame was tried and is 4x SLOWER — 26M rows pinned as
+                # deserialized JVM objects blow the heap; the columnar zstd
+                # round-trip through the stored table is the cheap path.
+                corpus_in, in_obs = _observed_count(corpus, "s1_in")
+                combined, extra_votes = stage1_combined(corpus_in, cfg)
+                cat.write_table(combined, wh, "s1_combined", partition_by=["kind"])
+                rows_in = int(in_obs.get["n"])
+                if extra_votes is not None:
+                    cat.write_table(extra_votes, wh, "votes_extra")
+                mentions = _read_mentions(spark, wh, cfg)
+                votes = _read_votes(spark, wh, cfg)
+            else:
+                mentions, votes = stage1_mentions(corpus, cfg)
+                cat.write_table(mentions, wh, "mentions")
+                cat.write_table(votes, wh, "votes")
+                rows_in = 0  # composed path: input count not observed
+                mentions = cat.read_table(spark, wh, "mentions")
+                votes = cat.read_table(spark, wh, "votes")
+            # per-partition lineage from the written files' parquet footers —
+            # driver-side metadata read, NO table re-scan job (mentions = the
+            # kind=m partition of the combined table on the fused path).
+            sub = os.path.join(wh, "s1_combined", "kind=m") if cfg.fused else \
+                os.path.join(wh, "mentions")
+            pstats_rows = ck.partition_stats_files(sub)
+            rows_out = sum(n for _, n in pstats_rows)
+            ck.record_stage(spark, wh, cfg.run_id, "s1",
+                            partition_rows=pstats_rows, rows_in=rows_in,
+                            rows_out=rows_out, counters=ck.LINEAGE_SOURCE_FILES)
     if mentions is None:
         mentions = _read_mentions(spark, wh, cfg)
         votes = _read_votes(spark, wh, cfg)
@@ -303,75 +370,79 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig) -> DataFram
     # ---- aggregate votes -> per-row entities (part of stage 1 output contract)
     entities = None
     if "s1b" not in done:
-        if cfg.aggregator == "hmm":
-            from .operators.hmm import hmm_decode, hmm_fit
+        with _timed(timings, "s1b"):
+            if cfg.aggregator == "hmm":
+                from .operators.hmm import hmm_decode, hmm_fit
 
-            doc_lens = with_tokens(corpus).select(
-                "row_id", F.size("tokens").alias("n_toks")
-            )
-            params = hmm_fit(votes, doc_lens, n_iter=cfg.hmm_iter)
-            agg = hmm_decode(votes, doc_lens, params)
-        else:
-            agg = weighted_vote(votes, threshold=cfg.vote_threshold)
-        ents = predicted_entities(agg)  # votes carry tok: no corpus re-join
-        ents, obs = _observed_count(ents, "s1b")
-        cat.write_table(ents, wh, "entities")
-        ck.record_stage(spark, wh, cfg.run_id, "s1b", rows_out=obs.get["n"],
-                        counters={"aggregator_hmm": 1 if cfg.aggregator == "hmm" else 0})
+                doc_lens = with_tokens(corpus).select(
+                    "row_id", F.size("tokens").alias("n_toks")
+                )
+                params = hmm_fit(votes, doc_lens, n_iter=cfg.hmm_iter)
+                agg = hmm_decode(votes, doc_lens, params)
+            else:
+                agg = weighted_vote(votes, threshold=cfg.vote_threshold)
+            ents = predicted_entities(agg)  # votes carry tok: no corpus re-join
+            ents, obs = _observed_count(ents, "s1b")
+            cat.write_table(ents, wh, "entities")
+            ck.record_stage(spark, wh, cfg.run_id, "s1b", rows_out=obs.get["n"],
+                            counters={"aggregator_hmm": 1 if cfg.aggregator == "hmm" else 0})
     if entities is None:
         entities = cat.read_table(spark, wh, "entities")
 
     # ---- stage 2
     if "s2" not in done:
-        edges, dropped = link_surfaces(
-            mentions, num_bands=cfg.lsh_bands,
-            min_jaccard=cfg.lsh_min_jaccard, max_block=cfg.lsh_max_block,
-        )
-        edges, obs = _observed_count(edges, "s2")
-        cat.write_table(edges, wh, "edges")
-        n_dropped = dropped.count()
-        ck.record_stage(spark, wh, cfg.run_id, "s2",
-                        rows_out=obs.get["n"],
-                        counters={"dropped_blocks": n_dropped})
+        with _timed(timings, "s2"):
+            edges, dropped = link_surfaces(
+                mentions, num_bands=cfg.lsh_bands,
+                min_jaccard=cfg.lsh_min_jaccard, max_block=cfg.lsh_max_block,
+            )
+            edges, obs = _observed_count(edges, "s2")
+            cat.write_table(edges, wh, "edges")
+            n_dropped = dropped.count()
+            ck.record_stage(spark, wh, cfg.run_id, "s2",
+                            rows_out=obs.get["n"],
+                            counters={"dropped_blocks": n_dropped})
     edges = cat.read_table(spark, wh, "edges")
 
     # ---- stage 3
     if "s3" not in done:
-        comps = connected_components(
-            edges.where(F.col("sim") >= cfg.lsh_min_jaccard), max_iter=cfg.cc_max_iter
-        )
-        comps, obs = _observed_count(comps, "s3")
-        cat.write_table(comps, wh, "components")
-        ck.record_stage(spark, wh, cfg.run_id, "s3", rows_out=obs.get["n"])
+        with _timed(timings, "s3"):
+            comps = connected_components(
+                edges.where(F.col("sim") >= cfg.lsh_min_jaccard), max_iter=cfg.cc_max_iter
+            )
+            comps, obs = _observed_count(comps, "s3")
+            cat.write_table(comps, wh, "components")
+            ck.record_stage(spark, wh, cfg.run_id, "s3", rows_out=obs.get["n"])
     comps = cat.read_table(spark, wh, "components")
 
     # ---- stage 4
     if "s4" not in done:
-        # spread the write WITHIN predicates: repartition on pred alone
-        # collapses to |distinct preds| (= 3) active tasks — a serial funnel
-        # that froze write parallelism at any cluster size. Hashing (pred,
-        # subj) keeps pred-partition pruning on read (partitionBy below) while
-        # every core writes; each task emits at most |preds| files.
-        n_out = spark.sparkContext.defaultParallelism * 2
-        corpus4, entities4 = corpus, entities
-        if cfg.bucket_buckets > 0:
-            corpus4, entities4 = _bucketed_stage4_inputs(
-                spark, corpus, entities, cfg
-            )
-        triples = dedup_triples(build_triples(corpus4, entities4, comps))
-        cat.write_table(triples.repartition(n_out, "pred", "subj"), wh,
-                        "triples", partition_by=["pred"])
-        # audit the WRITTEN table (what consumers will read): auditing the
-        # lazy frame before the write executed the whole stage-4 plan twice;
-        # the read-back scan prunes to the single lineage.sha column.
-        audit = sha_invariant_audit(corpus, cat.read_table(spark, wh, "triples"))
-        sha_ok = audit.limit(1).count() == 0
-        # lineage from the written files' footers (no re-scan job)
-        pstats_rows = ck.partition_stats_files(os.path.join(wh, "triples"))
-        rows_out = sum(n for _, n in pstats_rows)
-        ck.record_stage(spark, wh, cfg.run_id, "s4",
-                        partition_rows=pstats_rows, rows_out=rows_out,
-                        sha_ok=sha_ok,
-                        counters={"bucket_buckets": cfg.bucket_buckets,
-                                  **ck.LINEAGE_SOURCE_FILES})
+        with _timed(timings, "s4"):
+            # spread the write WITHIN predicates: repartition on pred alone
+            # collapses to |distinct preds| (= 3) active tasks — a serial funnel
+            # that froze write parallelism at any cluster size. Hashing (pred,
+            # subj) keeps pred-partition pruning on read (partitionBy below) while
+            # every core writes; each task emits at most |preds| files.
+            n_out = spark.sparkContext.defaultParallelism * 2
+            corpus4, entities4 = corpus, entities
+            if cfg.bucket_buckets > 0:
+                corpus4, entities4 = _bucketed_stage4_inputs(
+                    spark, corpus, entities, cfg
+                )
+            triples = dedup_triples(build_triples(corpus4, entities4, comps))
+            cat.write_table(triples.repartition(n_out, "pred", "subj"), wh,
+                            "triples", partition_by=["pred"])
+            # audit the WRITTEN table (what consumers will read): auditing the
+            # lazy frame before the write executed the whole stage-4 plan twice;
+            # the read-back scan prunes to the single lineage.sha column.
+            audit = sha_invariant_audit(corpus, cat.read_table(spark, wh, "triples"))
+            sha_ok = audit.limit(1).count() == 0
+            # lineage from the written files' footers (no re-scan job)
+            pstats_rows = ck.partition_stats_files(os.path.join(wh, "triples"))
+            rows_out = sum(n for _, n in pstats_rows)
+            ck.record_stage(spark, wh, cfg.run_id, "s4",
+                            partition_rows=pstats_rows, rows_out=rows_out,
+                            sha_ok=sha_ok,
+                            counters={"bucket_buckets": cfg.bucket_buckets,
+                                      **ck.LINEAGE_SOURCE_FILES})
     return cat.read_table(spark, wh, "triples")

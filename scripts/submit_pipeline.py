@@ -55,6 +55,12 @@ def main() -> None:
     ap.add_argument("--warmup-rows", type=int, default=2000,
                     help="untimed warm-up pipeline size (JIT/codegen warm-up "
                          "exclusion; 0 disables)")
+    ap.add_argument("--aggregator", default="vote", choices=["vote", "hmm"],
+                    help="vote aggregation: weighted majority or distributed "
+                         "Baum-Welch HMM (bench variant)")
+    ap.add_argument("--bucket-buckets", type=int, default=0,
+                    help=">0: row_id-bucketed stage-4 inputs (no-Exchange "
+                         "join bench variant)")
     args = ap.parse_args()
 
     # session comes from spark-submit conf — this script never sets a master.
@@ -84,13 +90,20 @@ def main() -> None:
         wwh = _scratch_dir("htner_warm_")
         try:
             run(spark, synthetic_corpus(spark, args.warmup_rows, seed=args.seed + 1),
-                PipelineConfig(warehouse=wwh, run_id="warmup")).count()
+                PipelineConfig(warehouse=wwh, run_id="warmup",
+                               aggregator=args.aggregator,
+                               bucket_buckets=args.bucket_buckets)).count()
         finally:
             shutil.rmtree(wwh, ignore_errors=True)
 
+    stage_sec: dict = {}
     t0 = time.monotonic()
-    triples = run(spark, corpus, PipelineConfig(warehouse=args.warehouse,
-                                                run_id=args.run_id))
+    triples = run(spark, corpus,
+                  PipelineConfig(warehouse=args.warehouse,
+                                 run_id=args.run_id,
+                                 aggregator=args.aggregator,
+                                 bucket_buckets=args.bucket_buckets),
+                  timings=stage_sec)
     n = triples.count()
     sec = time.monotonic() - t0
 
@@ -101,6 +114,11 @@ def main() -> None:
         "triples_per_sec": round(n / sec, 2) if sec > 0 else None,
         "cores": spark.sparkContext.defaultParallelism,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        # per-stage wall times (s1 mentions+votes, s1b vote agg, s2 linking,
+        # s3 connected components, s4 triples+audit) — every scaling run
+        # carries its own decomposition so per-stage scaling efficiency is
+        # computable from the committed artifact alone.
+        "stage_sec": stage_sec,
     }))
     spark.stop()
 

@@ -1,0 +1,52 @@
+"""Dropped-block counters from dedup/similarity runs must land in checkpoint
+counters (VERDICT r2 #7): the standalone operators return dropped blocks; the
+pipeline entries record them durably and resume-gate the pass."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ht_ner_spark.pipeline import PipelineConfig, embedding_dedup_run, near_dup_run
+from ht_ner_spark.storage.checkpoint import read_checkpoints
+
+SF = "/root/testdata/sf0.001"
+
+
+def _counters(spark, wh, stage):
+    row = (
+        read_checkpoints(spark, wh)
+        .where(F.col("stage") == stage)
+        .select("counters", "rows_out")
+        .first()
+    )
+    return dict(row["counters"]), row["rows_out"]
+
+
+def test_near_dup_run_records_dropped_blocks(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    wh = tempfile.mkdtemp(prefix="htner_dedup_")
+    cfg = PipelineConfig(warehouse=wh, run_id="d1")
+    # max_block=2: the synthetic corpus has shared shingles, so some band
+    # buckets exceed 2 members and MUST be dropped + counted
+    pairs = near_dup_run(spark, docs, cfg, max_block=2)
+    n1 = pairs.count()
+    counters, rows_out = _counters(spark, wh, "dedup")
+    assert counters["max_block"] == 2
+    assert counters["dropped_blocks"] > 0
+    assert rows_out == n1
+    # resume: second call must skip the stage (counters not duplicated)
+    pairs2 = near_dup_run(spark, docs, cfg, max_block=2)
+    assert pairs2.count() == n1
+    ckpt = read_checkpoints(spark, wh).where(F.col("stage") == "dedup")
+    assert ckpt.count() == 1
+
+
+def test_embedding_dedup_run_records_dropped_blocks(spark):
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    wh = tempfile.mkdtemp(prefix="htner_embdedup_")
+    cfg = PipelineConfig(warehouse=wh, run_id="e1")
+    # bits=1 -> 2 buckets over 100+ vectors: both exceed max_block=10
+    pairs = embedding_dedup_run(spark, vecs, cfg, bits=1, max_block=10)
+    assert pairs.count() == 0  # everything dropped -> no candidate pairs
+    counters, _ = _counters(spark, wh, "embdedup")
+    assert counters["dropped_blocks"] > 0
