@@ -110,16 +110,20 @@ def _frequency_inputs(corpus: DataFrame, cfg: PipelineConfig):
     return None, cutoffs, freq, tview
 
 
-def stage1_combined(corpus: DataFrame, cfg: PipelineConfig
+def stage1_combined(corpus: DataFrame, cfg: PipelineConfig,
+                    freq_inputs: tuple | None = None
                     ) -> tuple[DataFrame, DataFrame | None]:
     """Fused stage 1 -> (combined S1_COMBINED frame, extra relational votes
     or None). extra votes appear only when the frequency vocabulary exceeds
-    the broadcast budget (relational join fallback)."""
+    the broadcast budget (relational join fallback). ``freq_inputs`` lets the
+    caller pre-run (and sub-time) the frequency pass."""
     from .operators.fused import fused_stage1
 
     ranks, cutoffs, freq, tview = (None, [], None, None)
     if cfg.frequency_antirules:
-        ranks, cutoffs, freq, tview = _frequency_inputs(corpus, cfg)
+        ranks, cutoffs, freq, tview = (
+            freq_inputs if freq_inputs is not None
+            else _frequency_inputs(corpus, cfg))
     combined = fused_stage1(
         corpus, cfg.gazetteer,
         common_ranks=ranks, freq_cutoffs=cutoffs if ranks else [],
@@ -329,6 +333,14 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig,
     mentions = votes = None
     if "s1" not in done:
         with _timed(timings, "s1"):
+            freq_inputs = None
+            if cfg.fused and cfg.frequency_antirules:
+                # sub-time the corpus-global frequency pass (pass 1 of 2)
+                # so the committed stage decomposition separates it from
+                # the labeling pass + write: it is a full corpus scan with
+                # its own shuffle and scales differently.
+                with _timed(timings, "s1_freq"):
+                    freq_inputs = _frequency_inputs(corpus, cfg)
             if cfg.fused:
                 # ONE corpus pass, ONE write: the combined mention+vote frame IS
                 # the stage-1 table; mentions/votes are kind-filtered projections
@@ -339,7 +351,8 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig,
                 # deserialized JVM objects blow the heap; the columnar zstd
                 # round-trip through the stored table is the cheap path.
                 corpus_in, in_obs = _observed_count(corpus, "s1_in")
-                combined, extra_votes = stage1_combined(corpus_in, cfg)
+                combined, extra_votes = stage1_combined(corpus_in, cfg,
+                                                        freq_inputs=freq_inputs)
                 cat.write_table(combined, wh, "s1_combined", partition_by=["kind"])
                 rows_in = int(in_obs.get["n"])
                 if extra_votes is not None:
@@ -430,13 +443,16 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig,
                     spark, corpus, entities, cfg
                 )
             triples = dedup_triples(build_triples(corpus4, entities4, comps))
-            cat.write_table(triples.repartition(n_out, "pred", "subj"), wh,
-                            "triples", partition_by=["pred"])
+            with _timed(timings, "s4_write"):
+                cat.write_table(triples.repartition(n_out, "pred", "subj"), wh,
+                                "triples", partition_by=["pred"])
             # audit the WRITTEN table (what consumers will read): auditing the
             # lazy frame before the write executed the whole stage-4 plan twice;
             # the read-back scan prunes to the single lineage.sha column.
-            audit = sha_invariant_audit(corpus, cat.read_table(spark, wh, "triples"))
-            sha_ok = audit.limit(1).count() == 0
+            with _timed(timings, "s4_audit"):
+                audit = sha_invariant_audit(
+                    corpus, cat.read_table(spark, wh, "triples"))
+                sha_ok = audit.limit(1).count() == 0
             # lineage from the written files' footers (no re-scan job)
             pstats_rows = ck.partition_stats_files(os.path.join(wh, "triples"))
             rows_out = sum(n for _, n in pstats_rows)

@@ -138,3 +138,81 @@ def test_hmm_decode_recovers_planted_entities(spark, tmp_path):
         fn += len(t - p)
     recall = tp / (tp + fn)
     assert recall >= 0.85, (tp, fp, fn)
+
+
+def test_batched_kernels_match_perdoc_oracle():
+    """The doc-batched vectorized kernels (padded masked forward-backward,
+    partition pre-agg) must reproduce the per-doc reference math exactly,
+    including the quirks: duplicate (pos, lf) votes collapse to the LAST
+    occurrence, out-of-range positions and unknown LFs are dropped, len-1
+    docs contribute start/emit but no transitions."""
+    import numpy as np
+
+    from ht_ner_spark.operators.hmm import (
+        _batched_chunk_decode,
+        _batched_chunk_stats,
+        _obs_from_arrays,
+    )
+
+    rng = np.random.RandomState(7)
+    lfs = ["gaz", "rule", "freq_0.1"]
+    p = HMMParams(lfs)
+    p.start = [0.7, 0.3]
+    p.trans = [[0.8, 0.2], [0.4, 0.6]]
+    p.emit = {"gaz": [0.05, 0.85], "rule": [0.1, 0.7], "freq_0.1": [0.5, 0.04]}
+
+    rows = []
+    lens = {}
+    for d in range(40):
+        row_id = 1000 + d
+        n_toks = int(rng.randint(1, 12))
+        lens[row_id] = n_toks
+        for _ in range(int(rng.randint(1, 14))):
+            pos = int(rng.randint(-1, n_toks + 2))       # incl. out-of-range
+            lf = str(rng.choice(lfs + ["unknown_lf"]))
+            label = str(rng.choice(["PERSON_NAME", "NOT_NAME"]))
+            rows.append((row_id, pos, lf, label, n_toks, f"t{pos}"))
+    chunk = pd.DataFrame(
+        rows, columns=["row_id", "pos", "lf_name", "label", "n_toks", "tok"]
+    ).sort_values("row_id", kind="stable").reset_index(drop=True)
+
+    # ---- per-doc oracle stats
+    want: dict = {}
+    pos_a = chunk["pos"].values
+    lf_a = chunk["lf_name"].values
+    lab_a = chunk["label"].values
+    ids = chunk["row_id"].values
+    bounds = [0] + [i for i in range(1, len(ids)) if ids[i] != ids[i - 1]] + [len(ids)]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        obs = _obs_from_arrays(pos_a, lf_a, lab_a, s, e,
+                               lens[int(ids[s])], frozenset(lfs))
+        for kind, lfn, st, nx, w, n in _doc_stats(p, obs):
+            cell = want.setdefault((kind, lfn, st, nx), [0.0, 0.0])
+            cell[0] += w
+            cell[1] += n
+
+    got: dict = {}
+    _batched_chunk_stats(p, chunk, got)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], rel=1e-9, abs=1e-12), k
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-9, abs=1e-12), k
+
+    # ---- decode: same posteriors at every observed position
+    dec = _batched_chunk_decode(p, chunk)
+    dec_map = {(int(r.row_id), int(r.pos)): (r.label, r.score)
+               for r in dec.itertuples()}
+    n_obs_positions = 0
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        row_id = int(ids[s])
+        obs = _obs_from_arrays(pos_a, lf_a, lab_a, s, e,
+                               lens[row_id], frozenset(lfs))
+        gamma, _, _ = _forward_backward(p, obs)
+        for t, votes in enumerate(obs):
+            if votes:
+                n_obs_positions += 1
+                label, score = dec_map[(row_id, t)]
+                assert score == pytest.approx(float(gamma[t][1]), rel=1e-9)
+                assert label == ("PERSON_NAME" if gamma[t][1] > 0.5
+                                 else "NOT_NAME")
+    assert len(dec) == n_obs_positions > 0
