@@ -583,7 +583,8 @@ def variant_runs() -> dict:
         r = _one_scaling_run(cores, extra_args=extra, rows=rows)
         if r:
             out[name] = {"sec": r["sec"], "triples_per_sec": r["triples_per_sec"],
-                         "triples": r["triples"], "stage_sec": r.get("stage_sec")}
+                         "triples": r["triples"], "stage_sec": r.get("stage_sec"),
+                         "host": r.get("host")}
     return out
 
 
