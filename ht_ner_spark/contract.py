@@ -375,6 +375,94 @@ FROM bio
 
 
 # ===========================================================================
+# 7b. wordpiece label alignment (AR6 forward) — deterministic 4-char pieces,
+# reference semantics of finetune.py:83-106 ([CLS]/[SEP] -> -100, first
+# subtoken labelled, label_all_tokens continuations, 512 truncation)
+
+def q_subtoken_align(spark, sf_dir):
+    from .operators.align import align_labels_to_subtokens
+
+    t = _doc_tokens(spark, sf_dir)
+    gaz = sorted(GAZ_SINGLE)
+    cls_tags = F.transform(
+        F.coalesce(F.col("tokens"), F.array()),
+        lambda x: F.when(F.lower(x).isin(gaz), F.lit("NAME")).otherwise(F.lit("O")),
+    )
+    tagged = t.select(
+        F.col("row_id"),
+        F.coalesce(F.col("tokens"), F.array()).alias("tokens"),
+        bio_fns.to_bio(cls_tags).alias("tags"),
+    )
+    al = align_labels_to_subtokens(tagged)
+    z = al.select(
+        F.col("row_id").cast("long").alias("doc_id"),
+        F.posexplode(F.arrays_zip("subtokens", "label_ids")).alias("pos", "z"),
+    )
+    return z.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("z.subtokens").alias("subtok"),
+        F.col("z.label_ids").cast("long").alias("label_id"),
+    )
+
+
+SQL_SUBTOKEN_ALIGN = f"""
+WITH {_SQL_TOKS},
+tagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN lower(tok) IN ({_sql_in_list(GAZ_SINGLE)}) THEN 'NAME' ELSE 'O' END AS cls
+  FROM toks
+),
+bio AS (
+  SELECT doc_id, pos, tok, cls,
+         lag(cls) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tagged
+),
+wtags AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN cls = 'O' THEN 'O'
+              WHEN prev IS NULL OR prev <> cls THEN 'B-' || cls
+              ELSE 'I-' || cls END AS tag
+  FROM bio
+),
+pieces AS (
+  SELECT doc_id, pos, tag, tok,
+         unnest(range(0, greatest(CAST(ceil(length(tok) / 4.0) AS BIGINT), 1))) AS j
+  FROM wtags
+),
+sp AS (
+  SELECT doc_id, pos, j,
+         CASE WHEN j = 0 THEN substring(tok, 1, 4)
+              ELSE '##' || substring(tok, CAST(j * 4 + 1 AS INT), 4) END AS subtok,
+         CASE WHEN tag = 'O' THEN 0 WHEN tag = 'B-NAME' THEN 1
+              WHEN tag = 'I-NAME' THEN 2 ELSE -100 END AS label_id
+  FROM pieces
+),
+numbered AS (
+  SELECT doc_id, subtok, label_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos, j) AS spos
+  FROM sp
+),
+kept AS (
+  SELECT doc_id, spos AS pos, subtok, label_id FROM numbered WHERE spos <= 510
+),
+counts AS (SELECT doc_id, count(*) AS k FROM kept GROUP BY doc_id),
+docs AS (SELECT DISTINCT doc_id FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos,
+       subtok, CAST(label_id AS BIGINT) AS label_id
+FROM (
+  SELECT doc_id, 0 AS pos, '[CLS]' AS subtok, -100 AS label_id FROM docs
+  UNION ALL
+  SELECT doc_id, pos, subtok, label_id FROM kept
+  UNION ALL
+  SELECT d.doc_id, COALESCE(c.k, 0) + 1 AS pos, '[SEP]' AS subtok,
+         -100 AS label_id
+  FROM docs d LEFT JOIN counts c USING (doc_id)
+)
+"""
+
+
+# ===========================================================================
 # 8. adjacent-fragment merge (W2) — islands over gazetteer-token positions
 
 def q_subtoken_merge(spark, sf_dir):
@@ -1767,6 +1855,7 @@ def queries() -> dict:
         "entity_f1_counts": q_entity_f1_counts,
         "bio_tags": q_bio_tags,
         "subtoken_merge": q_subtoken_merge,
+        "subtoken_align": q_subtoken_align,
         "combine_dict_rule": q_combine_dict_rule,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
@@ -1819,6 +1908,7 @@ def oracle_sql() -> dict:
         "entity_f1_counts": SQL_ENTITY_F1_COUNTS,
         "bio_tags": SQL_BIO_TAGS,
         "subtoken_merge": SQL_SUBTOKEN_MERGE,
+        "subtoken_align": SQL_SUBTOKEN_ALIGN,
         "combine_dict_rule": _sql_combine(),
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "lsh_candidates": SQL_LSH_CANDIDATES,

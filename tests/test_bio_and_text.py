@@ -158,3 +158,48 @@ def test_truecase_hook_gated_both_ways(spark):
         preprocess_with_config("inp", use_truecase=False).alias("g")
     ).collect()[0]["g"]
     assert a == b
+
+
+class TestSubtokenAlign:
+    """AR6 forward alignment (operators/align.py) — reference semantics of
+    finetune.py:83-106 with the deterministic 4-char piece inventory."""
+
+    def test_alignment_semantics(self, spark):
+        import pandas as pd
+
+        from ht_ner_spark.operators.align import align_labels_to_subtokens
+
+        df = spark.createDataFrame(
+            [
+                (1, ["hello", "Alexandra", "ok"], ["O", "B-NAME", "O"]),
+                (2, [], []),
+            ],
+            "row_id long, tokens array<string>, tags array<string>",
+        )
+        out = {r["row_id"]: r for r in
+               align_labels_to_subtokens(df).collect()}
+        r1 = out[1]
+        # hello -> hell ##o ; Alexandra -> Alex ##andr ##a ; ok -> ok
+        assert r1["subtokens"] == ["[CLS]", "hell", "##o", "Alex", "##andr",
+                                   "##a", "ok", "[SEP]"]
+        # label_all_tokens=True: continuations inherit the word's label id
+        assert r1["label_ids"] == [-100, 0, 0, 1, 1, 1, 0, -100]
+        assert out[2]["subtokens"] == ["[CLS]", "[SEP]"]
+        assert out[2]["label_ids"] == [-100, -100]
+
+    def test_first_subtoken_only_and_truncation(self, spark):
+        from ht_ner_spark.operators.align import align_labels_to_subtokens
+
+        df = spark.createDataFrame(
+            [(1, ["Alexandra"] * 300, ["B-NAME"] * 300)],
+            "row_id long, tokens array<string>, tags array<string>",
+        )
+        r = align_labels_to_subtokens(
+            df, label_all_tokens=False).collect()[0]
+        # 300 words x 3 pieces = 900 pieces -> truncated to 510 + specials
+        assert len(r["subtokens"]) == 512 == len(r["label_ids"])
+        assert r["subtokens"][0] == "[CLS]" and r["subtokens"][-1] == "[SEP]"
+        # label_all_tokens=False: only first pieces carry the label
+        body = r["label_ids"][1:-1]
+        assert body[0] == 1 and body[1] == -100 and body[2] == -100
+        assert body[3] == 1
