@@ -408,6 +408,41 @@ def _scaling_summary(runs: list[dict], lo_c: int, hi_c: int) -> dict | None:
     return out
 
 
+def _steal_cores_now(probe_sec: float = 5.0) -> float | None:
+    """Average stolen cores over a short idle probe window."""
+    st0 = _proc_stat()
+    if st0 is None:
+        return None
+    time.sleep(probe_sec)
+    st1 = _proc_stat()
+    return (st1["steal"] - st0["steal"]) / os.sysconf("SC_CLK_TCK") / probe_sec
+
+
+def _wait_for_quiet(max_wait_sec: float, threshold: float = None) -> dict:
+    """Hold the next measurement pair until hypervisor steal subsides (or the
+    bounded budget runs out). This gates on the HOST's exogenous state before
+    running — never on a run's outcome — so it cannot bias the sampled
+    distribution the way result-conditioned stopping does; it only raises the
+    chance a pair lands in a measurable window. Waited time and the steal
+    trace are recorded in the artifact."""
+    threshold = STEAL_CLEAN_CORES if threshold is None else threshold
+    t0 = time.monotonic()
+    trace = []
+    while True:
+        s = _steal_cores_now()
+        if s is None:
+            return {"waited_sec": 0, "steal_trace": []}
+        trace.append(round(s, 2))
+        if s < threshold or (time.monotonic() - t0) >= max_wait_sec:
+            return {"waited_sec": round(time.monotonic() - t0, 1),
+                    "steal_trace": trace[-24:]}
+        time.sleep(min(25.0, max_wait_sec / 8))
+
+
+# bounded per-pair quiet-wait budget (seconds); 0 disables the gate
+QUIET_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "300"))
+
+
 def scaling_run() -> dict | None:
     """Same job via spark-submit --py-files (north_rule run shape), two
     parallelism levels, fresh JVM each — the sandbox stand-in for N vs 4N
@@ -423,7 +458,10 @@ def scaling_run() -> dict | None:
     disk_before = _disk_probe_mbps()
     cpu_before = _cpu_probe_sec()
     runs: list[dict] = []
+    quiet_waits = []
     for rep in range(max(1, SCALING_PAIRS)):
+        if QUIET_WAIT_SEC > 0:
+            quiet_waits.append(_wait_for_quiet(QUIET_WAIT_SEC))
         for cores in (lo_c, hi_c):
             r = _one_scaling_run(cores)
             if r is not None:
@@ -441,6 +479,7 @@ def scaling_run() -> dict | None:
                  for r in runs],
         "disk_mbps_before": disk_before, "disk_mbps_after": disk_after,
         "cpu_probe_sec_before": cpu_before, "cpu_probe_sec_after": cpu_after,
+        "quiet_waits": quiet_waits,
     })
     return s
 
