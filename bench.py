@@ -59,11 +59,11 @@ HEADLINE = [
 # 600k rows: large enough that the pipeline's fixed multi-job floor (stage
 # scheduling, tiny s2/s3 frames — profiled ~15 s in a degraded window, ~5 s
 # quiet) is small against the parallel stage-1/stage-4 work, small enough
-# that one run fits inside a quiet window of this shared host (the 0.978-
-# efficiency round-1 pair was exactly this size). Longer inputs (2M tried)
-# don't help: host contention affects the hi level MORE than lo, so
-# stretching runs across noisy minutes compresses the ratio — many short
-# interleaved pairs + best-of beats few long ones.
+# that one run fits inside a quiet window of this shared host. Pinned since
+# round 2 so BENCH_r{N} artifacts stay apples-to-apples. At this size the
+# residual floor caps clean end-to-end 2->8 efficiency around 0.6-0.75; the
+# floor-amortized evidence runs as a second series at SCALING_LARGE_ROWS
+# below (clean-window-gated — long runs straddle more host-noise minutes).
 SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "600000"))
 # N and 4N task slots for the scaling-efficiency evidence. Default 2 -> 8:
 # on this 32-core box each Spark core drives a JVM task thread AND a Python
@@ -74,6 +74,17 @@ SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "600000"))
 SCALING_CORES = tuple(
     int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
 )
+
+# Floor-amortized second series: same protocol at 2M rows, where the fixed
+# multi-job floor (~5-10 s) is <5% of the parallel work and end-to-end
+# efficiency approaches stage-1's intrinsic scaling (the round-1 0.978 pair
+# ran at this size). Long runs straddle more host-noise minutes, so this
+# series leans on the clean-window classifier: fewer pairs, each only
+# meaningful when its telemetry is clean. The pinned 600k series above stays
+# the cross-round headline.
+SCALING_LARGE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_LARGE_ROWS",
+                                        "2000000"))
+SCALING_LARGE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALING_LARGE_PAIRS", "2"))
 
 
 
@@ -166,10 +177,25 @@ SCALING_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "5"))
 # run's telemetry is committed either way.
 STEAL_CLEAN_CORES = float(os.environ.get("SPARK_GRAFT_STEAL_CLEAN", "0.5"))
 
+# Second cleanliness dimension: steal only counts CPU the hypervisor withheld
+# while our vCPU was runnable — a co-tenant saturating the socket's memory
+# bandwidth slows every instruction while steal stays low and busy_cores
+# stays HIGH (the r03_campaign2 window: hi-level runs 3x slower at steal
+# 0.7-0.9, busy 12-15 "cores", while the fixed single-core probe doubled
+# 0.61 -> 1.33 s). So each scaling run is now preceded by the pinned
+# single-core probe and a run is clean only if the host executed that fixed
+# work at near its quiet speed. Threshold pre-declared from the committed
+# campaign telemetry: quiet windows measure ~0.55-0.70 s, degraded windows
+# 1.0-1.33 s.
+CPU_PROBE_CLEAN_SEC = float(os.environ.get("SPARK_GRAFT_PROBE_CLEAN", "0.85"))
+
 
 def _is_clean(r: dict) -> bool:
     host = r.get("host") or {}
-    return float(host.get("steal_cores") or 0.0) < STEAL_CLEAN_CORES
+    if float(host.get("steal_cores") or 0.0) >= STEAL_CLEAN_CORES:
+        return False
+    probe = r.get("cpu_probe_sec")
+    return probe is None or probe <= CPU_PROBE_CLEAN_SEC
 
 
 def _cpu_probe_sec() -> float:
@@ -214,7 +240,8 @@ def _disk_probe_mbps() -> float:
 
 
 def _one_scaling_run(cores: int, extra_args: tuple[str, ...] = (),
-                     rows: int | None = None) -> dict | None:
+                     rows: int | None = None,
+                     timeout: float = 900.0) -> dict | None:
     wh = _scratch_dir(f"htner_scale{cores}_")
     cmd = [
         _spark_submit_bin(),
@@ -254,7 +281,8 @@ def _one_scaling_run(cores: int, extra_args: tuple[str, ...] = (),
         # a hard timeout per run: a rare pyspark Arrow writer/reader race has
         # been observed to deadlock a local run (both sides socket-waiting,
         # box idle) — one hung run must cost one slot, not the whole bench
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout)
     except subprocess.TimeoutExpired:
         sys.stderr.write(f"scaling run cores={cores} timed out (killed)\n")
         shutil.rmtree(wh, ignore_errors=True)
@@ -344,15 +372,18 @@ def _pair_efficiencies(runs: list[dict], lo_c: int, hi_c: int) -> list[dict]:
     return out
 
 
-def _scaling_summary(runs: list[dict], lo_c: int, hi_c: int) -> dict | None:
+def _scaling_summary(runs: list[dict], lo_c: int, hi_c: int,
+                     rows: int | None = None,
+                     pairs: int | None = None) -> dict | None:
     lo = _level_stats(runs, lo_c)
     hi = _level_stats(runs, hi_c)
     if lo is None or hi is None:
         return None
     ratio = hi_c / lo_c
     out = {
-        "cores_lo": lo_c, "cores_hi": hi_c, "rows": SCALING_ROWS,
-        "pairs": SCALING_PAIRS,
+        "cores_lo": lo_c, "cores_hi": hi_c,
+        "rows": SCALING_ROWS if rows is None else rows,
+        "pairs": SCALING_PAIRS if pairs is None else pairs,
         "thrpt_lo": lo["median_tps"], "thrpt_hi": hi["median_tps"],
         "sec_lo": lo["median_sec"], "sec_hi": hi["median_sec"],
         "efficiency_raw_median": round(
@@ -443,42 +474,75 @@ def _wait_for_quiet(max_wait_sec: float, threshold: float = None) -> dict:
 QUIET_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "300"))
 
 
-def scaling_run() -> dict | None:
+# Telemetry-conditioned top-up: after the fixed pairs, if fewer than
+# CLEAN_TARGET pairs were interference-clean (steal + probe, measured
+# EXTERNALLY to the metric), up to EXTRA_PAIRS more run. This conditions
+# continuation on the host's state, never on the efficiency value, so it
+# cannot bias the sampled ratio the way the round-2 clear-target-and-stop
+# loop could — a filthy campaign gets more chances to land a measurable
+# window, a clean one never runs extra pairs. Both knobs are pre-declared.
+SCALING_CLEAN_TARGET = int(os.environ.get("SPARK_GRAFT_CLEAN_TARGET", "3"))
+SCALING_EXTRA_PAIRS = int(os.environ.get("SPARK_GRAFT_EXTRA_PAIRS", "2"))
+
+
+def scaling_run(rows: int | None = None, pairs: int | None = None,
+                clean_target: int | None = None,
+                extra_pairs: int | None = None,
+                timeout: float = 900.0,
+                make_pyfiles: bool = True) -> dict | None:
     """Same job via spark-submit --py-files (north_rule run shape), two
     parallelism levels, fresh JVM each — the sandbox stand-in for N vs 4N
     executors. A FIXED number of (lo,hi) pairs run tightly interleaved (the
     shared host's throughput swings 2-3x minute-to-minute; disk probes around
     a single bench have recorded 8-500 MB/s), the headline efficiency is the
     MEDIAN per-level throughput ratio, and every individual run — including
-    its per-stage decomposition, disk probes, and a fixed single-core CPU
-    calibration — lands in the artifact. No target-conditioned stopping."""
-    subprocess.run(["bash", os.path.join(REPO, "scripts", "make_pyfiles.sh")],
-                   check=True, capture_output=True)
+    its per-stage decomposition, per-run host telemetry + CPU probe, disk
+    probes, and campaign-level CPU calibration — lands in the artifact.
+    No metric-conditioned stopping (see SCALING_CLEAN_TARGET above)."""
+    if make_pyfiles:
+        subprocess.run(["bash", os.path.join(REPO, "scripts", "make_pyfiles.sh")],
+                       check=True, capture_output=True)
+    rows = SCALING_ROWS if rows is None else rows
+    pairs = SCALING_PAIRS if pairs is None else pairs
+    clean_target = SCALING_CLEAN_TARGET if clean_target is None else clean_target
+    extra_pairs = SCALING_EXTRA_PAIRS if extra_pairs is None else extra_pairs
     lo_c, hi_c = SCALING_CORES
     disk_before = _disk_probe_mbps()
     cpu_before = _cpu_probe_sec()
     runs: list[dict] = []
     quiet_waits = []
-    for rep in range(max(1, SCALING_PAIRS)):
+    rep = 0
+    max_pairs = max(1, pairs) + max(0, extra_pairs)
+    while rep < max_pairs:
+        if rep >= max(1, pairs):
+            clean_pairs = sum(
+                1 for p in _pair_efficiencies(runs, lo_c, hi_c) if p["clean"])
+            if clean_pairs >= clean_target:
+                break
         if QUIET_WAIT_SEC > 0:
             quiet_waits.append(_wait_for_quiet(QUIET_WAIT_SEC))
         for cores in (lo_c, hi_c):
-            r = _one_scaling_run(cores)
+            probe = _cpu_probe_sec()
+            r = _one_scaling_run(cores, rows=rows, timeout=timeout)
             if r is not None:
                 r["cores"] = cores
                 r["pair"] = rep
+                r["cpu_probe_sec"] = probe
                 runs.append(r)
+        rep += 1
     disk_after = _disk_probe_mbps()
     cpu_after = _cpu_probe_sec()
-    s = _scaling_summary(runs, lo_c, hi_c)
+    s = _scaling_summary(runs, lo_c, hi_c, rows=rows, pairs=rep)
     if s is None:
         return None
     s.update({
         "runs": [{k: r[k] for k in ("pair", "cores", "sec", "triples_per_sec",
-                                    "stage_sec", "host") if k in r}
+                                    "stage_sec", "host", "cpu_probe_sec")
+                  if k in r}
                  for r in runs],
         "disk_mbps_before": disk_before, "disk_mbps_after": disk_after,
         "cpu_probe_sec_before": cpu_before, "cpu_probe_sec_after": cpu_after,
+        "cpu_probe_clean_sec_threshold": CPU_PROBE_CLEAN_SEC,
         "quiet_waits": quiet_waits,
     })
     return s
@@ -712,10 +776,16 @@ def main() -> None:
     spark.stop()
 
     scaling = None
+    scaling_large = None
     variants = None
     calib = None
     if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
         scaling = scaling_run()
+        if not os.environ.get("SPARK_GRAFT_NO_LARGE"):
+            scaling_large = scaling_run(
+                rows=SCALING_LARGE_ROWS, pairs=SCALING_LARGE_PAIRS,
+                clean_target=2, extra_pairs=1, timeout=1800.0,
+                make_pyfiles=False)
         variants = variant_runs()
         calib = scaleout_calib()
     if scaling:
@@ -736,6 +806,9 @@ def main() -> None:
         "suite_host": suite_host,
         "pipeline": pipe,
         "scaling": scaling,
+        # floor-amortized series: identical protocol at 2M rows, where the
+        # fixed multi-job floor is <5% of the work (see SCALING_LARGE_ROWS)
+        "scaling_large": scaling_large,
         # model of N->4N executor scale-out: independent forked processes
         # over the same fixed input (see scaleout_calib docstring)
         "scaleout_calib": calib,
@@ -745,13 +818,29 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def scaling_only(include_large: bool = True) -> None:
+    """Dev entry point: the scaling campaign alone (no suite/variants), for
+    quiet-window hunts between driver rounds. Same artifact shape as the
+    'scaling'/'scaling_large' sections of the full bench."""
+    out = {"scaling": scaling_run()}
+    if include_large:
+        out["scaling_large"] = scaling_run(
+            rows=SCALING_LARGE_ROWS, pairs=SCALING_LARGE_PAIRS,
+            clean_target=2, extra_pairs=1, timeout=1800.0, make_pyfiles=False)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--scaling-only", action="store_true")
+    ap.add_argument("--no-large", action="store_true")
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--rows", type=int, default=SCALING_ROWS)
     args = ap.parse_args()
     if args.pipeline_only:
         pipeline_only(args.cores, args.rows)
+    elif args.scaling_only:
+        scaling_only(include_large=not args.no_large)
     else:
         main()
