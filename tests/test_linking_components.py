@@ -86,12 +86,15 @@ def test_connected_components_vs_union_find(spark):
         ("k", "l"), ("l", "m"), ("m", "n"), ("n", "o"), ("o", "p"),  # path
     ]
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {
-        r["entity_id"]: r["component_id"]
-        for r in connected_components(df, max_iter=30).collect()
-    }
     want = oracle.union_find_components(edges)
-    assert got == want
+    # both the small-graph driver funnel and the distributed loop
+    for budget in (200_000, 0):
+        got = {
+            r["entity_id"]: r["component_id"]
+            for r in connected_components(
+                df, max_iter=30, driver_budget=budget).collect()
+        }
+        assert got == want, f"driver_budget={budget}"
 
 
 def test_connected_components_random_graphs(spark):
@@ -101,9 +104,25 @@ def test_connected_components_random_graphs(spark):
     nodes = [f"n{i:03d}" for i in range(80)]
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(100)]
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {
-        r["entity_id"]: r["component_id"]
-        for r in connected_components(df, max_iter=30).collect()
-    }
     want = oracle.union_find_components(edges)
-    assert got == want
+    for budget in (200_000, 0):
+        got = {
+            r["entity_id"]: r["component_id"]
+            for r in connected_components(
+                df, max_iter=30, driver_budget=budget).collect()
+        }
+        assert got == want, f"driver_budget={budget}"
+
+
+def test_connected_components_budget_boundary(spark):
+    # exactly at the budget the driver path runs; one over, distributed
+    edges = [(f"a{i}", f"a{i+1}") for i in range(10)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    want = oracle.union_find_components(edges)
+    for budget in (10, 9):  # len(edges) == 10
+        got = {
+            r["entity_id"]: r["component_id"]
+            for r in connected_components(
+                df, max_iter=30, driver_budget=budget).collect()
+        }
+        assert got == want, f"driver_budget={budget}"

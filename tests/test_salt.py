@@ -39,9 +39,13 @@ def test_cc_salted_equals_unsalted(spark):
     edges = [(f"n{i}", f"n{i+1}") for i in range(0, 40, 2)]
     edges += [("hub", f"n{i}") for i in range(0, 40, 4)]  # hub entity
     df = spark.createDataFrame(edges, "src string, dst string")
+    # driver_budget=0: the salted-vs-unsalted comparison must exercise the
+    # DISTRIBUTED loop (the driver funnel has no aggregation to salt)
     a = {(r["entity_id"], r["component_id"])
-         for r in connected_components(df, max_iter=20, salt_k=16).collect()}
+         for r in connected_components(
+             df, max_iter=20, salt_k=16, driver_budget=0).collect()}
     b = {(r["entity_id"], r["component_id"])
-         for r in connected_components(df, max_iter=20, salt_k=0).collect()}
+         for r in connected_components(
+             df, max_iter=20, salt_k=0, driver_budget=0).collect()}
     assert a == b
     assert len(a) > 0
