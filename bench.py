@@ -84,7 +84,7 @@ SCALING_CORES = tuple(
 # the cross-round headline.
 SCALING_LARGE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_LARGE_ROWS",
                                         "2000000"))
-SCALING_LARGE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALING_LARGE_PAIRS", "2"))
+SCALING_LARGE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALING_LARGE_PAIRS", "3"))
 
 
 
@@ -189,12 +189,30 @@ STEAL_CLEAN_CORES = float(os.environ.get("SPARK_GRAFT_STEAL_CLEAN", "0.5"))
 # 1.0-1.33 s.
 CPU_PROBE_CLEAN_SEC = float(os.environ.get("SPARK_GRAFT_PROBE_CLEAN", "0.85"))
 
+# Third cleanliness dimension: CPU consumed vs CPU requested. Good local[k]
+# runs consume k + <=0.6 cores (the Python workers overlap the JVM slots,
+# they don't add to them); the pathological runs burn k+1.3 to k+6 while
+# progressing 3-5x slower — a mid-run contention burst amplified by GC,
+# invisible to steal and to probes taken outside the run window. This is
+# the one criterion computed from the run's own resource telemetry rather
+# than an external probe, so two safeguards keep it honest: (a) the JVM's
+# GC threads are capped at the run's core count (above), so the engine
+# cannot legitimately exceed the band the way an unconstrained JVM could,
+# and (b) as with every cleanliness rule, ALL runs stay in the committed
+# artifact with their telemetry, and raw medians are always co-reported.
+BUSY_CLEAN_MARGIN_CORES = float(os.environ.get("SPARK_GRAFT_BUSY_MARGIN", "0.8"))
+
 
 def _is_clean(r: dict) -> bool:
     host = r.get("host") or {}
     if float(host.get("steal_cores") or 0.0) >= STEAL_CLEAN_CORES:
         return False
-    probe = r.get("cpu_probe_sec")
+    busy = host.get("busy_cores")
+    cores = r.get("cores")
+    if busy is not None and cores and busy > cores + BUSY_CLEAN_MARGIN_CORES:
+        return False
+    probe = max(filter(None, (r.get("cpu_probe_sec"),
+                              r.get("cpu_probe_sec_after"))), default=None)
     return probe is None or probe <= CPU_PROBE_CLEAN_SEC
 
 
@@ -268,8 +286,16 @@ def _one_scaling_run(cores: int, extra_args: tuple[str, ...] = (),
         # inside the measured window — the hi level's sporadic multi-10s
         # JVM-side stalls (measured: s1b 6.5s vs 39.3s across identical
         # idle-box runs) disappear with a pre-committed heap.
+        # GC threads sized to the run's core count, not the VM's 32 CPUs:
+        # an unconstrained JVM spawns ~23 parallel GC threads, so a GC burst
+        # during a local[8] run can consume 13-14 cores' CPU (measured in the
+        # r03 campaigns' pathological hi runs) and amplify any external
+        # memory-bandwidth contention — a real k-core executor container is
+        # confined to k GC threads, which is what these levels model.
         "--conf", "spark.driver.extraJavaOptions=" + os.environ.get(
-            "SPARK_GRAFT_JVM_OPTS", "-XX:+AlwaysPreTouch"),
+            "SPARK_GRAFT_JVM_OPTS",
+            f"-XX:+AlwaysPreTouch -XX:ParallelGCThreads={cores}"
+            f" -XX:ConcGCThreads={max(1, cores // 4)}"),
         "--py-files", os.path.join(REPO, "dist", "ht_ner_spark.zip"),
         os.path.join(REPO, "scripts", "submit_pipeline.py"),
         "--rows", str(rows if rows is not None else SCALING_ROWS),
@@ -528,6 +554,10 @@ def scaling_run(rows: int | None = None, pairs: int | None = None,
                 r["cores"] = cores
                 r["pair"] = rep
                 r["cpu_probe_sec"] = probe
+                # post-run probe: catches windows that degrade DURING the
+                # run and persist (the pre-run probe alone missed the
+                # r03_campaign2 mid-campaign doubling)
+                r["cpu_probe_sec_after"] = _cpu_probe_sec()
                 runs.append(r)
         rep += 1
     disk_after = _disk_probe_mbps()
@@ -537,12 +567,14 @@ def scaling_run(rows: int | None = None, pairs: int | None = None,
         return None
     s.update({
         "runs": [{k: r[k] for k in ("pair", "cores", "sec", "triples_per_sec",
-                                    "stage_sec", "host", "cpu_probe_sec")
+                                    "stage_sec", "host", "cpu_probe_sec",
+                                    "cpu_probe_sec_after")
                   if k in r}
                  for r in runs],
         "disk_mbps_before": disk_before, "disk_mbps_after": disk_after,
         "cpu_probe_sec_before": cpu_before, "cpu_probe_sec_after": cpu_after,
         "cpu_probe_clean_sec_threshold": CPU_PROBE_CLEAN_SEC,
+        "busy_clean_margin_cores": BUSY_CLEAN_MARGIN_CORES,
         "quiet_waits": quiet_waits,
     })
     return s
