@@ -1,0 +1,34 @@
+#!/usr/bin/env python
+"""One-shot dev campaign: floor-amortized 2M-row scaling series in a quiet
+window, under the round-3 cleanliness criteria (steal + CPU probe + busy
+cores) and the GC-thread caps that landed AFTER the last committed campaign.
+Emits the same artifact shape as bench.py's scaling_large section."""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import bench
+
+# Hold launch until the host is quiet (bounded): 2 consecutive quiet probes,
+# same gate the quiet-window hunt used. Exogenous host state only — never
+# conditioned on any measured efficiency.
+deadline = time.monotonic() + float(sys.argv[1]) if len(sys.argv) > 1 else \
+    time.monotonic() + 2700
+streak = 0
+while True:
+    s = bench._steal_cores_now(5) or 9.9
+    p = bench._cpu_probe_sec()
+    quiet = s < 0.4 and p <= 0.8
+    streak = streak + 1 if quiet else 0
+    sys.stderr.write(f"{time.strftime('%T')} steal={s:.2f} probe={p:.3f} "
+                     f"streak={streak}\n")
+    sys.stderr.flush()
+    if streak >= 2 or time.monotonic() > deadline:
+        break
+    time.sleep(60)
+
+out = {"scaling_large": bench.scaling_run(
+    rows=bench.SCALING_LARGE_ROWS, pairs=3, clean_target=2, extra_pairs=1,
+    timeout=1200.0)}
+print(json.dumps(out))
