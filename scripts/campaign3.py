@@ -17,7 +17,8 @@ deadline = time.monotonic() + float(sys.argv[1]) if len(sys.argv) > 1 else \
     time.monotonic() + 2700
 streak = 0
 while True:
-    s = bench._steal_cores_now(5) or 9.9
+    s = bench._steal_cores_now(5)
+    s = 9.9 if s is None else s  # None = unreadable; 0.0 is a pristine window
     p = bench._cpu_probe_sec()
     quiet = s < 0.4 and p <= 0.8
     streak = streak + 1 if quiet else 0
