@@ -816,7 +816,7 @@ def main() -> None:
         if not os.environ.get("SPARK_GRAFT_NO_LARGE"):
             scaling_large = scaling_run(
                 rows=SCALING_LARGE_ROWS, pairs=SCALING_LARGE_PAIRS,
-                clean_target=2, extra_pairs=1, timeout=1800.0,
+                clean_target=2, extra_pairs=1, timeout=900.0,
                 make_pyfiles=False)
         variants = variant_runs()
         calib = scaleout_calib()
@@ -865,7 +865,7 @@ def scaling_only(include_large: bool = True) -> None:
     if include_large:
         out["scaling_large"] = scaling_run(
             rows=SCALING_LARGE_ROWS, pairs=SCALING_LARGE_PAIRS,
-            clean_target=2, extra_pairs=1, timeout=1800.0, make_pyfiles=False)
+            clean_target=2, extra_pairs=1, timeout=900.0, make_pyfiles=False)
     print(json.dumps(out))
 
 

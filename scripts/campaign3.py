@@ -25,11 +25,17 @@ while True:
     sys.stderr.write(f"{time.strftime('%T')} steal={s:.2f} probe={p:.3f} "
                      f"streak={streak}\n")
     sys.stderr.flush()
-    if streak >= 2 or time.monotonic() > deadline:
+    if streak >= 2:
         break
+    if time.monotonic() > deadline:
+        # No quiet window inside the budget: abort instead of burning an
+        # hour measuring co-tenants (the 4th dev campaign showed a launch
+        # gate is not enough — but a campaign that never starts costs 0).
+        sys.stderr.write("no quiet window before deadline; aborting\n")
+        sys.exit(3)
     time.sleep(60)
 
 out = {"scaling_large": bench.scaling_run(
     rows=bench.SCALING_LARGE_ROWS, pairs=3, clean_target=2, extra_pairs=1,
-    timeout=1200.0)}
+    timeout=900.0)}
 print(json.dumps(out))
