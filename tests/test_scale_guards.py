@@ -55,3 +55,59 @@ def test_media_features_vectorized_histogram_matches_reference(spark):
     assert row["n_bytes"] == len(payload)
     assert row["content_sha256"] == hashlib.sha256(payload).hexdigest()
     assert np.allclose(row["features"], expected)
+
+
+def test_sha_audit_broadcast_plan_equals_shuffle_plan(spark):
+    """The size-gated broadcast anti-join audit must return the identical
+    violation SET as the default shuffle plan — on clean data (empty) and
+    with a planted foreign sha (exactly that sha) — while actually planning
+    a broadcast join."""
+    from ht_ner_spark.operators.triples import sha_invariant_audit
+
+    corpus = spark.createDataFrame(
+        [(i, f"sha{i:02d}") for i in range(20)], "row_id long, content_sha256 string"
+    )
+
+    def triples_with(shas):
+        return spark.createDataFrame(
+            [(f"s{i}", "mentions", "o", 1.0, (sha,))
+             for i, sha in enumerate(shas)],
+            "subj string, pred string, obj string, conf double, "
+            "lineage struct<content_sha256:string>",
+        )
+
+    clean = triples_with([f"sha{i % 20:02d}" for i in range(60)])
+    assert sha_invariant_audit(corpus, clean, broadcast_src=False).count() == 0
+    assert sha_invariant_audit(corpus, clean, broadcast_src=True).count() == 0
+
+    dirty = triples_with(["sha01", "BAD", "sha02", "BAD"])
+    shuffle_rows = sorted(
+        r["sha"] for r in sha_invariant_audit(corpus, dirty).collect())
+    bcast_rows = sorted(
+        r["sha"] for r in
+        sha_invariant_audit(corpus, dirty, broadcast_src=True).collect())
+    assert shuffle_rows == bcast_rows == ["BAD"]
+
+    plan = sha_invariant_audit(corpus, dirty, broadcast_src=True)._jdf \
+        .queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"))
+    assert "Broadcast" in plan
+
+
+def test_pipeline_corpus_rows_hint_same_triples(spark, tmp_path):
+    """corpus_rows_hint only changes the audit's join strategy — the triples
+    a pipeline run emits must be bit-identical with and without it."""
+    from ht_ner_spark.corpus import synthetic_corpus
+    from ht_ner_spark.pipeline import PipelineConfig, run
+
+    c = synthetic_corpus(spark, 300).cache()
+    c.count()
+    base = run(spark, c, PipelineConfig(warehouse=str(tmp_path / "nohint"),
+                                        run_id="a"))
+    hinted = run(spark, c, PipelineConfig(warehouse=str(tmp_path / "hint"),
+                                          run_id="b", corpus_rows_hint=300))
+    cols = ["subj", "pred", "obj", "conf"]
+    assert sorted(map(tuple, base.select(*cols).collect())) == \
+        sorted(map(tuple, hinted.select(*cols).collect()))
+    c.unpersist()
