@@ -552,9 +552,14 @@ def scaling_run(rows: int | None = None, pairs: int | None = None,
                 1 for p in _pair_efficiencies(runs, lo_c, hi_c) if p["clean"])
             if clean_pairs >= clean_target:
                 break
-        if QUIET_WAIT_SEC > 0:
-            quiet_waits.append(_wait_for_quiet(QUIET_WAIT_SEC))
         for cores in (lo_c, hi_c):
+            # gate EACH run, not each pair: the r03_campaign7 artifact shows
+            # a lo run's ~200 s wall is long enough for the window to turn
+            # (its pair-0 hi started degraded and recovered mid-run — s1
+            # 62 s vs 40 s on later pristine pairs). Exogenous host state
+            # only, waits recorded — same no-bias argument as the pair gate.
+            if QUIET_WAIT_SEC > 0:
+                quiet_waits.append(_wait_for_quiet(QUIET_WAIT_SEC))
             probe = _cpu_probe_sec()
             r = _one_scaling_run(cores, rows=rows, timeout=timeout)
             if r is not None:
