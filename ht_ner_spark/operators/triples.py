@@ -113,8 +113,21 @@ def sha_invariant_audit(corpus: DataFrame, triples: DataFrame,
     corpus size (pipeline: ``corpus_rows_hint``); the default keeps the
     shuffle plan, which is the only shape that survives a corpus whose
     distinct shas cannot sit in one executor's memory."""
+    if broadcast_src:
+        # two costs the shuffle plan pays that a broadcast probe need not:
+        # (1) distinct on the build side — an anti-join only tests existence,
+        # so the broadcast hash relation dedups for free; dropping distinct
+        # removes a full corpus-wide shuffle. (2) hex-string keys — sha2()
+        # emits 64-char hex; unhex() both sides to 32-byte binary halves the
+        # broadcast and the hash-relation build. Result set is identical
+        # (unhex is injective on well-formed sha hex; the probe side keeps
+        # the original string for reporting).
+        src = corpus.select(F.unhex("content_sha256").alias("sha_bin"))
+        probe = triples.select(
+            F.col("lineage.content_sha256").alias("sha"),
+            F.unhex("lineage.content_sha256").alias("sha_bin"))
+        return (probe.join(F.broadcast(src), "sha_bin", "left_anti")
+                .select("sha").distinct())
     src = corpus.select(F.col("content_sha256").alias("sha")).distinct()
     probe = triples.select(F.col("lineage.content_sha256").alias("sha"))
-    if broadcast_src:
-        return probe.join(F.broadcast(src), "sha", "left_anti").distinct()
     return probe.distinct().join(src, "sha", "left_anti")

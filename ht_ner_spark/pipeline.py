@@ -447,21 +447,25 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig,
     # ---- stage 4
     if "s4" not in done:
         with _timed(timings, "s4"):
-            # spread the write WITHIN predicates: repartition on pred alone
-            # collapses to |distinct preds| (= 3) active tasks — a serial funnel
-            # that froze write parallelism at any cluster size. Hashing (pred,
-            # subj) keeps pred-partition pruning on read (partitionBy below) while
-            # every core writes; each task emits at most |preds| files.
-            n_out = spark.sparkContext.defaultParallelism * 2
             corpus4, entities4 = corpus, entities
             if cfg.bucket_buckets > 0:
                 corpus4, entities4 = _bucketed_stage4_inputs(
                     spark, corpus, entities, cfg
                 )
             triples = dedup_triples(build_triples(corpus4, entities4, comps))
+            # write straight off the dedup agg: its hash exchange on
+            # (subj, pred, obj) already spreads rows uniformly across all
+            # tasks (every core writes; each task emits at most |preds|
+            # files under partitionBy), so the former
+            # repartition(n, "pred", "subj") was a second full-table
+            # shuffle buying nothing — a repartition on pred ALONE would
+            # collapse to |preds| tasks, which is why it hashed (pred,
+            # subj), but the agg's (subj, pred, obj) hash subsumes that.
+            # AQE's coalescing keeps >= defaultParallelism partitions
+            # (coalescePartitions.parallelismFirst=true default), so the
+            # encode stays parallel at small sizes too.
             with _timed(timings, "s4_write"):
-                cat.write_table(triples.repartition(n_out, "pred", "subj"), wh,
-                                "triples", partition_by=["pred"])
+                cat.write_table(triples, wh, "triples", partition_by=["pred"])
             # audit the WRITTEN table (what consumers will read): auditing the
             # lazy frame before the write executed the whole stage-4 plan twice;
             # the read-back scan prunes to the single lineage.sha column.

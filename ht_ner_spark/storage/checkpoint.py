@@ -149,6 +149,11 @@ def partition_stats_files(path: str) -> list[tuple[int, int]]:
     one checkpoint column never mixes unlabeled id semantics (ADVICE r2)."""
     import pyarrow.dataset as ds
 
+    if not os.path.isdir(path):
+        # a 0-row partitioned write creates no partition subdirs (e.g. the
+        # fused table's kind=m under an empty corpus): empty lineage, not
+        # FileNotFoundError
+        return []
     d = ds.dataset(path, format="parquet", partitioning="hive")
     frags = sorted(d.get_fragments(), key=lambda f: f.path)
     return [(i, frag.count_rows()) for i, frag in enumerate(frags)]
