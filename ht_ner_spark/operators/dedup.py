@@ -36,18 +36,32 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
 
 
 def word_shingles(col, k: int = 3):
-    """array of distinct k-word shingles of lower(col) (whitespace split)."""
-    toks = F.split(F.lower(col), r"\s+")
-    return F.array_distinct(
-        F.filter(
-            F.transform(
-                toks,
-                lambda x, i: F.when(
-                    i + k <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, k))
+    """array of distinct k-word shingles of lower(col) (whitespace split).
+
+    The split is bound through a higher-order let (``F.aggregate`` over a
+    1-element array): referencing ``F.split(...)`` directly inside the
+    transform/filter lambdas re-inlines the regex split into EVERY element
+    evaluation (Catalyst does not CSE across lambda boundaries), turning an
+    n-token document into O(n^2) regex work — measured 2x+ on the
+    documents-table minhash query."""
+    def shingles(toks):
+        return F.array_distinct(
+            F.filter(
+                F.transform(
+                    toks,
+                    lambda x, i: F.when(
+                        i + k <= F.size(toks),
+                        F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                    ),
                 ),
-            ),
-            lambda s: s.isNotNull(),
+                lambda s: s.isNotNull(),
+            )
         )
+
+    return F.aggregate(
+        F.array(F.split(F.lower(col), r"\s+")),
+        F.array().cast("array<string>"),
+        lambda acc, toks: shingles(toks),
     )
 
 
@@ -65,7 +79,9 @@ def doc_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     def h(b: int):
         if use_md5:
             return F.md5(F.concat_ws(":", F.lit(b), F.col("shingle")))
-        return F.xxhash64(F.lit(b), F.col("shingle")).cast("string")
+        # LONG sig on the fast path -> HashAggregate (string min falls back
+        # to SortAggregate; see linking.minhash_signatures)
+        return F.xxhash64(F.lit(b), F.col("shingle"))
 
     agg = sh.groupBy("doc_id").agg(
         *[F.min(h(b)).alias(f"_sig{b}") for b in range(num_bands)]
@@ -92,6 +108,11 @@ def minhash_dupe_pairs(signatures: DataFrame, min_shared_bands: int = 1,
     Oversized buckets are the hub-skew guard — excluded and REPORTED, never
     silently capped (same contract as linking.lsh_candidates; the pipeline
     threads the dropped count into checkpoint counters)."""
+    # materialize once: the self-join's two sides and the dropped-block
+    # report otherwise re-execute the entire signature subtree (shingle
+    # explode + minhash agg) per side — localCheckpoint is auto-released by
+    # the ContextCleaner when dereferenced (same pattern as link_surfaces)
+    signatures = signatures.localCheckpoint()
     sized = signatures.withColumn(
         "bs", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
     )

@@ -29,12 +29,22 @@ from pyspark.sql import functions as F
 
 
 def _grams_expr(col, n: int = 3):
-    padded = F.concat(F.lit("^"), F.lower(col), F.lit("$"))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1))),
-            lambda i: padded.substr(i, F.lit(n)),
+    # let-bind the padded string through a 1-element F.aggregate: inlining
+    # `padded` into the transform lambda re-evaluates the concat per gram
+    # (no CSE across lambda boundaries) — O(len^2) bytes per surface
+    def grams(padded):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.length(padded) - (n - 1), F.lit(1))),
+                lambda i: padded.substr(i, F.lit(n)),
+            )
         )
+
+    return F.aggregate(
+        F.array(F.concat(F.lit("^"), F.lower(col), F.lit("$"))),
+        F.array().cast("array<string>"),
+        lambda acc, padded: grams(padded),
     )
 
 
@@ -58,7 +68,11 @@ def minhash_signatures(grams: DataFrame, num_bands: int = 8,
     def h(b: int):
         if use_md5:
             return F.md5(F.concat_ws(":", F.lit(b), F.col("gram")))
-        return F.xxhash64(F.lit(b), F.col("gram")).cast("string")
+        # keep the sig LONG on the fast path: min(long) aggregates in a
+        # HashAggregate; casting to string demotes the whole agg to
+        # SortAggregate (string min needs an immutable buffer), inserting a
+        # full sort of the exploded grams on both sides of the shuffle
+        return F.xxhash64(F.lit(b), F.col("gram"))
 
     agg = grams.groupBy("surface").agg(
         *[F.min(h(b)).alias(f"_sig{b}") for b in range(num_bands)]
