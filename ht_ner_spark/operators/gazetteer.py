@@ -59,39 +59,52 @@ def match_relational(tokens_df: DataFrame, gaz: DataFrame,
     """
     if lengths is None:
         lengths = [r[0] for r in gaz.select("n_toks").distinct().collect()]
-    out = None
-    for n in sorted(lengths):
-        grams = tokens_df.select(
-            "row_id",
-            F.posexplode(
-                F.transform(
-                    F.col("tokens"),
-                    lambda x, i: F.when(
-                        i + n <= F.size(F.col("tokens")),
-                        F.concat_ws(" ", F.slice(F.col("tokens"), i + 1, n)),
-                    ),
-                )
-            ).alias("pos", "surface"),
-        ).where(F.col("surface").isNotNull())
-        part = (
-            grams.join(
-                F.broadcast(gaz.where(F.col("n_toks") == n)),
-                F.lower(F.col("surface")) == F.col("name"),
-                "inner",
-            )
-            .select(
-                "row_id",
-                F.lit(lf_name).alias("lf_name"),
-                F.col("pos").cast("int").alias("begin"),
-                (F.col("pos") + n).cast("int").alias("end"),
-                "surface",
-                F.lit("PERSON_NAME").alias("label"),
-                F.col("weight").alias("base_conf"),
-                F.col("weight").alias("confidence"),
-            )
+    if not lengths:
+        return tokens_df.sparkSession.createDataFrame([], MENTIONS)
+    toks = F.col("tokens")
+
+    # ONE pass over the tokenized corpus for ALL phrase lengths: the former
+    # per-length loop unioned |lengths| branches, each re-running the regex
+    # tokenizer and its own Generate over every document. All (pos, n,
+    # surface) grams are built within-row, flattened, exploded once, and
+    # joined against the broadcast gazetteer on (surface, n) — still
+    # Project/Generate (narrow) -> BroadcastHashJoin, no shuffle.
+    def gram_struct(n: int):
+        return F.transform(
+            toks,
+            lambda x, i: F.when(
+                i + n <= F.size(toks),
+                F.struct(
+                    i.cast("int").alias("pos"),
+                    F.lit(n).cast("int").alias("n"),
+                    F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("surface"),
+                ),
+            ),
         )
-        out = part if out is None else out.unionByName(part)
-    return out if out is not None else tokens_df.sparkSession.createDataFrame([], MENTIONS)
+
+    all_grams = F.filter(
+        F.flatten(F.array(*[gram_struct(n) for n in sorted(lengths)])),
+        lambda s: s.isNotNull(),
+    )
+    grams = tokens_df.select("row_id", F.explode(all_grams).alias("g"))
+    return (
+        grams.join(
+            F.broadcast(gaz),
+            (F.lower(F.col("g.surface")) == F.col("name"))
+            & (F.col("g.n") == F.col("n_toks")),
+            "inner",
+        )
+        .select(
+            "row_id",
+            F.lit(lf_name).alias("lf_name"),
+            F.col("g.pos").alias("begin"),
+            (F.col("g.pos") + F.col("g.n")).alias("end"),
+            F.col("g.surface").alias("surface"),
+            F.lit("PERSON_NAME").alias("label"),
+            F.col("weight").alias("base_conf"),
+            F.col("weight").alias("confidence"),
+        )
+    )
 
 
 def build_trie(weights: dict[str, float]) -> dict:
