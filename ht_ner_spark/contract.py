@@ -165,8 +165,7 @@ def q_rule_patterns(spark, sf_dir):
             "substr(split(text, ' ')[0], 2), ' ', text)"
         ).alias("text"),
     )
-    tv = token_view(with_tokens(d, text_col="text"))
-    m = ru.rule_mentions(tv)
+    m = ru.rule_mentions_arrays(with_tokens(d, text_col="text"))
     return m.select(
         F.col("row_id").cast("long").alias("doc_id"),
         "lf_name",

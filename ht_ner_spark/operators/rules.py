@@ -121,6 +121,54 @@ def rule_mentions(token_view: DataFrame, patterns=None,
     )
 
 
+def rule_mentions_arrays(tokens_df: DataFrame, patterns=None,
+                         lf_prefix: str = "rule") -> DataFrame:
+    """`rule_mentions` on the (row_id, tokens) ARRAY frame: the trigger
+    lookahead (tok, tok+1, tok+2) is a within-row computation, so the
+    exploded-view variant's Window(row_id ORDER BY pos) shuffle+sort buys
+    nothing — this one is a pure Project/Generate (zero shuffle, row-set
+    identical; asserted by tests/test_bio_and_text.py)."""
+    patterns = patterns if patterns is not None else RULE_PATTERNS
+    toks = F.col("tokens")
+
+    def elem_hits(x, i):
+        # x = tokens[i]; 1-based element_at for the lookahead tokens
+        t1 = F.element_at(toks, i + 2)
+        t2 = F.element_at(toks, i + 3)
+        hits = []
+        for idx, (pname, trig, conf) in enumerate(patterns):
+            if len(trig) == 2:
+                cond = ((F.lower(x) == trig[0]) & (F.lower(t1) == trig[1])
+                        & t2.rlike(NNP_REGEX))
+                name_col, off = t2, 2
+            else:
+                cond = (F.lower(x) == trig[0]) & t1.rlike(NNP_REGEX)
+                name_col, off = t1, 1
+            hits.append(F.when(cond, F.struct(
+                F.lit(f"{lf_prefix}{idx}").alias("lf_name"),
+                (i + off).cast("int").alias("begin"),
+                (i + off + 1).cast("int").alias("end"),
+                name_col.alias("surface"),
+                F.lit(conf).alias("base_conf"),
+            )))
+        return F.filter(F.array(*hits), lambda h: h.isNotNull())
+
+    exploded = tokens_df.select(
+        "row_id",
+        F.explode(F.flatten(F.transform(toks, elem_hits))).alias("m"),
+    )
+    return exploded.select(
+        "row_id",
+        F.col("m.lf_name").alias("lf_name"),
+        F.col("m.begin").alias("begin"),
+        F.col("m.end").alias("end"),
+        F.col("m.surface").alias("surface"),
+        F.lit("PERSON_NAME").alias("label"),
+        F.col("m.base_conf").alias("base_conf"),
+        F.col("m.base_conf").alias("confidence"),
+    )
+
+
 def all_caps_mentions(token_view: DataFrame) -> DataFrame:
     """AllCapsDetector (labeling_functions.py:76-83): pos >= 1, is_upper,
     len > 2. Python str.isupper == (has a cased char) and (all cased are

@@ -118,14 +118,24 @@ def sha_invariant_audit(corpus: DataFrame, triples: DataFrame,
         # (1) distinct on the build side — an anti-join only tests existence,
         # so the broadcast hash relation dedups for free; dropping distinct
         # removes a full corpus-wide shuffle. (2) hex-string keys — sha2()
-        # emits 64-char hex; unhex() both sides to 32-byte binary halves the
-        # broadcast and the hash-relation build. Result set is identical
-        # (unhex is injective on well-formed sha hex; the probe side keeps
-        # the original string for reporting).
-        src = corpus.select(F.unhex("content_sha256").alias("sha_bin"))
+        # emits 64-char hex; unhex() both sides to 33-byte tagged binary,
+        # roughly halving the broadcast and the hash-relation build. A bare
+        # unhex() is NOT total — it yields null on non-hex input, and null
+        # join keys never match, which turned every row of a non-hex-keyed
+        # corpus into a false violation — so non-hex keys fall back to
+        # their utf-8 bytes and a 1-byte tag keeps the two ranges disjoint
+        # (injective for ANY string; result set identical to the shuffle
+        # plan). The probe side keeps the original string for reporting.
+        def _key(col):
+            return F.when(
+                col.rlike("^([0-9a-fA-F]{2})+$"),
+                F.concat(F.lit(b"\x00"), F.unhex(col)),
+            ).otherwise(F.concat(F.lit(b"\x01"), F.encode(col, "UTF-8")))
+
+        src = corpus.select(_key(F.col("content_sha256")).alias("sha_bin"))
         probe = triples.select(
             F.col("lineage.content_sha256").alias("sha"),
-            F.unhex("lineage.content_sha256").alias("sha_bin"))
+            _key(F.col("lineage.content_sha256")).alias("sha_bin"))
         return (probe.join(F.broadcast(src), "sha_bin", "left_anti")
                 .select("sha").distinct())
     src = corpus.select(F.col("content_sha256").alias("sha")).distinct()

@@ -189,7 +189,7 @@ def stage1_mentions(corpus: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, 
             ),
             ctv,
         )
-    rule_ments = attach_char_offsets(ru.rule_mentions(tview), ctv)
+    rule_ments = attach_char_offsets(ru.rule_mentions_arrays(toks), ctv)
     caps = attach_char_offsets(ru.all_caps_mentions(tview), ctv)
     name_case = attach_char_offsets(ru.name_case_mentions(tview), ctv)
     mentions = gaz_mentions.unionByName(rule_ments).unionByName(caps).unionByName(name_case)

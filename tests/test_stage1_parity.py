@@ -73,6 +73,13 @@ def test_rule_mentions_match_oracle(spark):
     # dead patterns never fire (LOWER-attr quirk)
     dead = {"rule5", "rule9", "rule10", "rule11", "rule13", "rule22", "rule23", "rule24"}
     assert not {g[1] for g in got} & dead
+    # the shuffle-free array variant (what the composed pipeline + contract
+    # run) is row-set identical to the windowed exploded-view one
+    got_arrays = {
+        (r["row_id"], r["lf_name"], r["begin"], r["end"], r["surface"])
+        for r in ru.rule_mentions_arrays(with_tokens(_corpus(spark))).collect()
+    }
+    assert got_arrays == want
 
 
 def test_caps_detectors_match_oracle(spark):
