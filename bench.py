@@ -86,6 +86,10 @@ SCALING_LARGE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_LARGE_ROWS",
                                         "2000000"))
 SCALING_LARGE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALING_LARGE_PAIRS", "3"))
 
+# Minimum rows per synthetic-corpus input task (see run_pipeline): stands in
+# for spark.sql.files.maxPartitionBytes, which only applies to file scans.
+ROWS_PER_INPUT_TASK = int(os.environ.get("SPARK_GRAFT_ROWS_PER_TASK", "2500"))
+
 
 
 def _scratch_dir(prefix: str) -> str:
@@ -116,11 +120,20 @@ def run_pipeline(spark, n_rows: int, warmup_rows: int = 2000) -> dict:
     from ht_ner_spark.corpus import synthetic_corpus
     from ht_ner_spark.pipeline import PipelineConfig, run
 
-    par = spark.sparkContext.defaultParallelism * 2
+    # Input partitions sized by ROWS, capped at 2x task slots: a file-based
+    # corpus gets this for free from spark.sql.files.maxPartitionBytes, but
+    # the synthetic generator bypasses the reader, and slots*2 partitions at
+    # bench sizes means a few hundred rows per task — pure scheduler and
+    # Python-worker overhead (measured in-session at 32 cores / 20k rows:
+    # 64 partitions 22.4 s vs 8 partitions 6.5 s, identical triples).
+    slots2 = spark.sparkContext.defaultParallelism * 2
+    par = max(1, min(slots2, n_rows // ROWS_PER_INPUT_TASK))
     if warmup_rows:
         wwh = _scratch_dir("htner_warm_")
         try:
-            run(spark, synthetic_corpus(spark, warmup_rows, partitions=par),
+            # warmup spreads over ALL task slots regardless of its row count:
+            # its job is JIT/codegen + spinning up every Python worker once
+            run(spark, synthetic_corpus(spark, warmup_rows, partitions=slots2),
                 PipelineConfig(warehouse=wwh, run_id="warmup")).count()
         finally:
             shutil.rmtree(wwh, ignore_errors=True)
@@ -790,6 +803,19 @@ def main() -> None:
 
     spark = _session(cores)
     qmap = entrymod.queries()
+    # untimed warm-up: each headline query once at the smallest SF, so the
+    # timed pass measures warm steady-state (same rationale as run_pipeline's
+    # warm-up — codegen JIT + Python worker spin-up once per query family,
+    # not as part of the first queries' reported seconds)
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            fn = qmap.get(name)
+            if fn is not None:
+                try:
+                    fn(spark, warm_dir).count()
+                except Exception as exc:  # noqa: BLE001 - warmup must not sink
+                    sys.stderr.write(f"warmup {name} failed: {exc}\n")
     timings: dict[str, float] = {}
     total = 0.0
     st0 = _proc_stat()

@@ -125,7 +125,12 @@ def main() -> None:
             )
         corpus = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
     else:
-        par = spark.sparkContext.defaultParallelism * 2
+        # same sizing rule as bench.run_pipeline: rows//2500 per task, capped
+        # at 2x slots (a file corpus gets this from maxPartitionBytes; the
+        # generator bypasses the reader). No-op at the scaling sizes
+        # (600k/2M rows saturate the cap) — it only trims tiny dev runs.
+        par = max(1, min(spark.sparkContext.defaultParallelism * 2,
+                         args.rows // 2500))
         corpus = synthetic_corpus(spark, args.rows, seed=args.seed, partitions=par)
     corpus = corpus.cache()
     n_in = corpus.count()  # materialize input outside the timed window
