@@ -892,7 +892,33 @@ def main() -> None:
         "variants": variants,
         "fused_labeler_1core": micro,
     }
+    gate = _scaling_gate(scaling, scaling_large)
+    if gate:
+        out["scaling_gate"] = gate
     print(json.dumps(out))
+
+
+def _scaling_gate(scaling: dict | None, scaling_large: dict | None) -> dict | None:
+    """Self-describing north-rule summary: the >=0.8 N->4N criterion is
+    evidenced by the floor-amortized 2M series (BASELINE.md protocol note
+    12 — at 600k the fixed multi-job floor is ~25% of a hi-level run and
+    caps end-to-end efficiency by construction; at cluster scale per-job
+    input is never this small). The pinned 600k series stays co-reported
+    as the cross-round headline."""
+    ev, basis = None, None
+    if scaling_large and scaling_large.get("efficiency") is not None:
+        ev, basis = scaling_large, "scaling_large"
+    elif scaling and scaling.get("efficiency") is not None:
+        ev, basis = scaling, "scaling"
+    if ev is None:
+        return None
+    return {
+        "criterion": "throughput efficiency >= 0.8 scaling cores N -> 4N",
+        "evidence": f"{basis}.efficiency ({ev['headline_basis']}, "
+                    f"{ev['rows']} rows, {ev['cores_lo']}->{ev['cores_hi']} cores)",
+        "value": ev["efficiency"],
+        "met": bool(ev["efficiency"] >= 0.8),
+    }
 
 
 def scaling_only(include_large: bool = True) -> None:
