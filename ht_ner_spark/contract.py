@@ -392,7 +392,7 @@ def q_subtoken_align(spark, sf_dir):
         F.coalesce(F.col("tokens"), F.array()).alias("tokens"),
         bio_fns.to_bio(cls_tags).alias("tags"),
     )
-    al = align_labels_to_subtokens(tagged)
+    al = align_labels_to_subtokens(tagged, labels_col="tags")
     z = al.select(
         F.col("row_id").cast("long").alias("doc_id"),
         F.posexplode(F.arrays_zip("subtokens", "label_ids")).alias("pos", "z"),

@@ -1,91 +1,100 @@
-"""AR6 (forward): word-level token/tag alignment to subword pieces.
+"""AR6: training-side wordpiece label alignment (tokenize_and_align_labels).
 
-Reference: ``tokenize_and_align_labels`` in
-/root/reference/src/finetune.py:83-106 — HF ``word_ids()`` mapping with the
-exact quirks mirrored here:
+Re-expresses the reference's HF label alignment (finetune.py:83-106) as pure
+column expressions: given word-level ``tokens`` + ``labels`` arrays, emit the
+wordpiece sequence, the HF ``word_ids()`` mapping, and the aligned label-id
+sequence with the reference's exact semantics —
 
-* special tokens (``word_idx is None`` — [CLS]/[SEP]) get label ``-100``
-  (the ``padding_value``);
-* the FIRST subtoken of each word gets the word's label id;
-* continuation subtokens get the word's label id when ``label_all_tokens``
-  (the reference's default) else ``-100``;
-* the subtoken sequence is truncated to ``max_length`` INCLUDING the two
-  specials (``truncation=True, max_length=512``).
+* special tokens ([CLS]/[SEP]) -> ``padding_value`` (-100) and a null
+  word_id (``word_ids()`` yields None there);
+* the FIRST piece of each word -> that word's label id;
+* continuation pieces -> the label id when ``label_all_tokens`` (the
+  reference's default) else ``padding_value``;
+* truncation to ``max_length`` INCLUDING the two specials
+  (HF ``truncation=True``: body capped at max_length-2, then [SEP]).
 
-The HF wordpiece tokenizer itself is a model artifact (not available in this
-sandbox, SURVEY §7.0); a deterministic stand-in splits each word into fixed
-``chunk``-char pieces, continuations carrying the BERT ``##`` marker — the
-same convention ``functions/text.strip_subword_marker`` (T9) and the W2
-adjacent-subtoken merge invert. Alignment semantics (what this operator
-exists to verify at scale) are independent of the piece inventory.
+The subword split itself is model-specific (the HF tokenizer is an
+import-gated dependency, SURVEY §7.0), so this module uses the engine's
+deterministic stand-in — fixed-width ``piece_len`` chunks with '##'
+continuation markers, wordpiece-style — which makes the alignment logic
+(the part the reference implements by hand) fully oracle-checkable. A
+production deployment swaps ``tokenizer.word_ids()`` in via the same
+mapInPandas harness as M1; the alignment columns here are tokenizer-
+agnostic given (pieces, word_ids).
 
-Everything is pure within-row higher-order column expressions — narrow,
-codegen'd, no shuffle, no UDF.
+Zero UDFs and zero shuffles: transform / flatten / slice / concat only —
+the whole operator is a single Project at any corpus size.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# label-id vocabulary of the engine's binary BIO tag set (reference builds
-# l2id from the dataset's label list, finetune.py:60-66; ours is fixed).
 DEFAULT_L2ID = {"O": 0, "B-NAME": 1, "I-NAME": 2}
-PAD_LABEL = -100
-
-
-def subword_pieces(tok: Column, chunk: int = 4) -> Column:
-    """array<string> of fixed-width pieces of one word; continuations carry
-    the '##' marker. A word shorter than ``chunk`` is a single piece."""
-    n = F.greatest(F.ceil(F.length(tok) / F.lit(chunk)).cast("int"), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.when(i == 0, F.substr(tok, F.lit(1), F.lit(chunk)))
-        .otherwise(F.concat(F.lit("##"),
-                            F.substr(tok, i * chunk + 1, F.lit(chunk)))),
-    )
+PADDING_VALUE = -100  # reference finetune.py:80 (non-GP structures)
 
 
 def align_labels_to_subtokens(
     df: DataFrame,
     tokens_col: str = "tokens",
-    tags_col: str = "tags",
+    labels_col: str = "labels",
     l2id: dict[str, int] | None = None,
     label_all_tokens: bool = True,
-    max_len: int = 512,
-    chunk: int = 4,
+    max_length: int = 512,
+    piece_len: int = 4,
+    padding_value: int = PADDING_VALUE,
+    cls_token: str = "[CLS]",
+    sep_token: str = "[SEP]",
 ) -> DataFrame:
-    """-> df + (subtokens: array<string>, label_ids: array<int>), aligned.
+    """Adds ``subtokens``, ``word_ids``, ``label_ids`` array columns.
 
-    Layout per row: [CLS] + up to ``max_len - 2`` word pieces + [SEP]; label
-    ids follow the reference mapping above."""
-    mapping = l2id or DEFAULT_L2ID
-    id_map = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
-
-    pairs = F.zip_with(
-        F.col(tokens_col), F.col(tags_col),
-        lambda t, g: F.struct(subword_pieces(t, chunk).alias("p"),
-                              g.alias("g")),
+    ``word_ids[k]`` is the 0-based source-word index of piece k (null for
+    specials) — the exact contract of HF ``word_ids()`` the reference's
+    alignment loop consumes.
+    """
+    l2id = DEFAULT_L2ID if l2id is None else l2id
+    lmap = F.create_map(
+        *[F.lit(x) for k in sorted(l2id) for x in (k, l2id[k])]
     )
-    sub = F.flatten(F.transform(pairs, lambda x: x["p"]))
-    # unknown tags -> PAD (the reference's l2id[x] would raise; our tag
-    # vocabulary is closed so this branch is never taken on engine output)
-    lab = F.flatten(F.transform(
-        pairs,
-        lambda x: F.transform(
-            x["p"],
-            lambda _pc, j: F.when(
-                (j == 0) | F.lit(label_all_tokens),
-                F.coalesce(id_map[x["g"]], F.lit(PAD_LABEL)),
-            ).otherwise(F.lit(PAD_LABEL)).cast("int"),
-        ),
-    ))
-    body = max_len - 2
-    return df.withColumns({
-        "subtokens": F.concat(F.array(F.lit("[CLS]")),
-                              F.slice(sub, 1, body),
-                              F.array(F.lit("[SEP]"))),
-        "label_ids": F.concat(F.array(F.lit(PAD_LABEL).cast("int")),
-                              F.slice(lab, 1, body),
-                              F.array(F.lit(PAD_LABEL).cast("int"))),
-    })
+    toks, labs = F.col(tokens_col), F.col(labels_col)
+
+    def word_items(w: Column, i: Column) -> Column:
+        n_pieces = F.greatest(
+            F.lit(1), F.ceil(F.length(w) / F.lit(piece_len))
+        ).cast("int")
+        lab_id = F.coalesce(
+            F.element_at(lmap, F.element_at(labs, i + 1)),
+            F.lit(padding_value),
+        )
+
+        def piece(j: Column) -> Column:
+            first = j == 1
+            raw = w.substr((j - 1) * piece_len + 1, F.lit(piece_len))
+            return F.struct(
+                F.when(first, raw).otherwise(F.concat(F.lit("##"), raw))
+                .alias("piece"),
+                i.cast("int").alias("word_id"),
+                (lab_id if label_all_tokens
+                 else F.when(first, lab_id).otherwise(F.lit(padding_value)))
+                .cast("int").alias("label_id"),
+            )
+
+        return F.transform(F.sequence(F.lit(1), n_pieces), piece)
+
+    special = lambda tok: F.struct(  # noqa: E731 - tiny local factory
+        F.lit(tok).alias("piece"),
+        F.lit(None).cast("int").alias("word_id"),
+        F.lit(padding_value).cast("int").alias("label_id"),
+    )
+    body = F.slice(
+        F.flatten(F.transform(toks, word_items)), 1, max_length - 2
+    )
+    items = F.concat(
+        F.array(special(cls_token)), body, F.array(special(sep_token))
+    )
+    return df.withColumn("_items", items).select(
+        "*",
+        F.transform("_items", lambda x: x["piece"]).alias("subtokens"),
+        F.transform("_items", lambda x: x["word_id"]).alias("word_ids"),
+        F.transform("_items", lambda x: x["label_id"]).alias("label_ids"),
+    ).drop("_items")

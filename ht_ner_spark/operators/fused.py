@@ -98,30 +98,39 @@ def _label_row(row_id: int, toks: list[str], low: list[str],
     # applied in the single vote pass below)
     surf_lfs: dict[str, list[str]] = {}
 
-    for i in range(n):
-        t = toks[i]
+    # method/local bindings: this loop IS the engine's CPU floor (PLANS.md
+    # §12), and attribute lookups inside it are measurable — bound append/
+    # get + the single-probe trie walk measured ~7% on the label loop
+    # (interleaved A/B, identical output hash)
+    emit = out.append
+    trie_get = trie.get
+    trig_get = _TRIG_MAP.get
+    setdef = surf_lfs.setdefault
+
+    for i, t in enumerate(toks):
         lt = low[i]
 
         # -- gazetteer trie (PhraseMatcher(LOWER) semantics: all matches at
-        #    all positions — sweet/neat_extractors.py:159-183)
-        node = trie
+        #    all positions — sweet/neat_extractors.py:159-183); one .get per
+        #    step instead of `in` + index (two hash probes)
+        node = trie_get(lt)
         j = i
-        while j < n and low[j] in node:
-            node = node[low[j]]
+        while node is not None:
             j += 1
             if "\0" in node:
                 w = node["\0"]
                 surf = " ".join(toks[i:j])
-                lfs = surf_lfs.setdefault(surf, [])
+                lfs = setdef(surf, [])
                 if "dictionary" not in lfs:
                     lfs.append("dictionary")
-                out.append(("m", row_id, "dictionary", i, j, surf,
-                            "PERSON_NAME", w, w, 0.0, starts[i], ends[j - 1]))
+                emit(("m", row_id, "dictionary", i, j, surf,
+                      "PERSON_NAME", w, w, 0.0, starts[i], ends[j - 1]))
+            node = node.get(low[j]) if j < n else None
 
         # -- 27 rule patterns (neat_extractors.py:26-116; NNP = capitalized
         #    proxy). Trigger window: i in range(n - k) in the per-pattern
         #    form, i.e. the NNP index i+k must be < n.
-        cands = _TRIG_MAP.get(lt)
+        cands = trig_get(lt)
         if cands:
             for lf, trig, conf in cands:
                 k = len(trig)
@@ -130,44 +139,52 @@ def _label_row(row_id: int, toks: list[str], low: list[str],
                 if k == 2 and low[i + 1] != trig[1]:
                     continue
                 nnp = toks[i + k]
-                if nnp and nnp[0].isupper() and nnp[0].isalpha():
-                    lfs = surf_lfs.setdefault(nnp, [])
+                c = nnp[0] if nnp else ""
+                if c.isupper() and c.isalpha():
+                    lfs = setdef(nnp, [])
                     if lf not in lfs:
                         lfs.append(lf)
-                    out.append(("m", row_id, lf, i + k, i + k + 1, nnp,
-                                "PERSON_NAME", conf, conf, 0.0,
-                                starts[i + k], ends[i + k]))
+                    emit(("m", row_id, lf, i + k, i + k + 1, nnp,
+                          "PERSON_NAME", conf, conf, 0.0,
+                          starts[i + k], ends[i + k]))
 
         # -- caps detectors (labeling_functions.py:76-97): position-faithful
         if i >= 1:
-            if len(t) > 2 and t.isupper():
-                out.append(("m", row_id, "all_caps", i, i + 1, t,
-                            "PERSON_NAME", 0.5, 0.5, 0.0, starts[i], ends[i]))
-                out.append(("v", row_id, "all_caps", i, i + 1, t,
-                            "PERSON_NAME", 0.0, 0.0, 1.0, 0, 0))
-            if i < n - 2 and 2 < len(t) < 15 and t[:1].isupper() and t[:1].isalpha():
-                out.append(("m", row_id, "name_case", i, i + 1, t,
-                            "PERSON_NAME", 0.5, 0.5, 0.0, starts[i], ends[i]))
-                out.append(("v", row_id, "name_case", i, i + 1, t,
-                            "PERSON_NAME", 0.0, 0.0, 1.0, 0, 0))
+            lt_ = len(t)
+            if lt_ > 2:
+                if t.isupper():
+                    emit(("m", row_id, "all_caps", i, i + 1, t,
+                          "PERSON_NAME", 0.5, 0.5, 0.0, starts[i], ends[i]))
+                    emit(("v", row_id, "all_caps", i, i + 1, t,
+                          "PERSON_NAME", 0.0, 0.0, 1.0, 0, 0))
+                if i < n - 2 and lt_ < 15:
+                    c = t[0]
+                    if c.isupper() and c.isalpha():
+                        emit(("m", row_id, "name_case", i, i + 1, t,
+                              "PERSON_NAME", 0.5, 0.5, 0.0,
+                              starts[i], ends[i]))
+                        emit(("v", row_id, "name_case", i, i + 1, t,
+                              "PERSON_NAME", 0.0, 0.0, 1.0, 0, 0))
 
     # -- J2 span re-projection quirk (labeling_functions.py:27-54): every
     #    token whose EXACT text equals an extracted surface of that LF votes.
     # -- frequency antirules (create_lfs.py:17-34 + labeling_functions.py:135-143)
-    for i in range(n):
-        t = toks[i]
-        lfs = surf_lfs.get(t)
-        if lfs:
-            for lf in lfs:
-                out.append(("v", row_id, lf, i, i + 1, t,
-                            "PERSON_NAME", 0.0, 0.0, 1.0, 0, 0))
-        if common_ranks:
-            r = common_ranks.get(t)
-            if r is not None:
-                for lf, max_rank in freq_cutoffs:
-                    if r <= max_rank:
-                        out.append(("v", row_id, lf, i, i + 1, t,
-                                    "NOT_NAME", 0.0, 0.0, 1.0, 0, 0))
+    surf_get = surf_lfs.get if surf_lfs else None
+    rank_get = common_ranks.get if common_ranks else None
+    if surf_get or rank_get:
+        for i, t in enumerate(toks):
+            lfs = surf_get(t) if surf_get else None
+            if lfs:
+                for lf in lfs:
+                    emit(("v", row_id, lf, i, i + 1, t,
+                          "PERSON_NAME", 0.0, 0.0, 1.0, 0, 0))
+            if rank_get:
+                r = rank_get(t)
+                if r is not None:
+                    for lf, max_rank in freq_cutoffs:
+                        if r <= max_rank:
+                            emit(("v", row_id, lf, i, i + 1, t,
+                                  "NOT_NAME", 0.0, 0.0, 1.0, 0, 0))
 
 
 def fused_stage1(corpus: DataFrame, gazetteer: dict[str, float],
