@@ -37,7 +37,7 @@ PADDING_VALUE = -100  # reference finetune.py:80 (non-GP structures)
 def align_labels_to_subtokens(
     df: DataFrame,
     tokens_col: str = "tokens",
-    labels_col: str = "labels",
+    labels_col: str = "tags",
     l2id: dict[str, int] | None = None,
     label_all_tokens: bool = True,
     max_length: int = 512,

@@ -64,7 +64,7 @@ def test_alignment_matches_reference_loop(spark, label_all_tokens):
     out = {
         r["doc_id"]: r for r in
         align_labels_to_subtokens(
-            df, label_all_tokens=label_all_tokens).collect()
+            df, labels_col="labels", label_all_tokens=label_all_tokens).collect()
     }
     for i, (toks, labs) in enumerate(CASES):
         want = _reference_align(toks, labs, DEFAULT_L2ID,
@@ -81,7 +81,7 @@ def test_truncation_caps_body_and_keeps_sep(spark):
     df = spark.createDataFrame(
         [(0, toks, labs)],
         "doc_id long, tokens array<string>, labels array<string>")
-    row = align_labels_to_subtokens(df, max_length=512).collect()[0]
+    row = align_labels_to_subtokens(df, labels_col="labels", max_length=512).collect()[0]
     want = _reference_align(toks, labs, DEFAULT_L2ID, max_length=512)
     assert (row["subtokens"], row["word_ids"], row["label_ids"]) == want
     assert len(row["subtokens"]) == 512
