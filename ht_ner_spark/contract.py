@@ -1889,6 +1889,7 @@ def queries() -> dict:
         "ad_level_iou": q_ad_level,
         "trie_gazetteer": q_trie_gazetteer,
         "ann_bucketed": q_ann_bucketed,
+        "embedding_near_dup": q_embedding_near_dup,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
@@ -1943,6 +1944,7 @@ def oracle_sql() -> dict:
         "token_classify": SQL_TOKEN_CLASSIFY,
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "kg_pipeline_triples": _sql_kg_pipeline(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
@@ -2054,6 +2056,58 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(neighbor_id AS BIGINT) AS neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS BIGINT) AS rank
 FROM scored QUALIFY rank <= {ANN_K}
+"""
+
+
+# ===========================================================================
+# 48. embedding near-duplicate pairs — sign-bucket blocking + exact cosine
+# verify (the embedding-cosine arm of the dedup family,
+# similarity.embedding_near_dupes). Parameters chosen so the testdata
+# exercises BOTH paths at sf0.001 AND sf0.01: ~300 verified pairs plus one
+# oversized sign bucket dropped (max_block=40 < the largest bucket of 500
+# synthetic vectors over 2^4 buckets). The bucket key is the sign bits of
+# the first NEARDUP_BITS coordinates — no arithmetic, so the DuckDB oracle
+# reproduces buckets bit-for-bit (same argument as SQL_ANN_BUCKETED); the
+# cosine is a sequential fold over 64 doubles on both engines, and the
+# emitted sim is rounded to 4dp.
+
+NEARDUP_BITS = 4
+NEARDUP_MIN_COSINE = 0.25
+NEARDUP_MAX_BLOCK = 40
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs, _dropped = sim.embedding_near_dupes(
+        vecs, min_cosine=NEARDUP_MIN_COSINE, bits=NEARDUP_BITS,
+        max_block=NEARDUP_MAX_BLOCK)
+    return pairs.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.round("sim", 4).alias("sim"),
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding,
+         array_to_string(list_transform(embedding[1:{NEARDUP_BITS}],
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+),
+sized AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS bs FROM v),
+ok AS (SELECT * FROM sized WHERE bs <= {NEARDUP_MAX_BLOCK}),
+pairs AS (
+  SELECT a.id AS src, b.id AS dst,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.id < b.id
+)
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       round(sim, 4) AS sim
+FROM pairs WHERE sim >= {NEARDUP_MIN_COSINE}
 """
 
 
