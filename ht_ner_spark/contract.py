@@ -1034,6 +1034,50 @@ FROM flagged GROUP BY user_id
 
 
 # ===========================================================================
+# 19b. native session windows (streaming/windowed.py — the SAME plan runs
+# batch and streaming; oracle = gaps-and-islands rewrite). Spark's
+# F.session_window merges an event into the open session when
+# ts - last_ts <= gap EXACTLY (measured: diff == gap merges), so the oracle
+# breaks islands on diff > gap, compared in exact integer MICROSECONDS
+# (unix_micros vs epoch_us) — no double-epoch rounding at the boundary.
+
+def q_session_windows(spark, sf_dir):
+    from .streaming.windowed import session_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = session_event_counts(ev, gap_s=SESSION_GAP_S)
+    # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC (session.py:71)
+    # so casting to TIMESTAMP is epoch-identity and unix_micros is exact
+    return s.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+SQL_SESSION_WINDOWS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > {SESSION_GAP_S} * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       MIN(us) AS start_us,
+       MAX(us) + {SESSION_GAP_S} * 1000000 AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM islands GROUP BY user_id, sid
+"""
+
+
+# ===========================================================================
 # 20. relational pushdown agg (P1/P4-class over lineitem, exact types)
 
 def q_lineitem_agg(spark, sf_dir):
@@ -1870,6 +1914,7 @@ def queries() -> dict:
         "fingerprint": q_fingerprint,
         "bpe_estimate": q_bpe_estimate,
         "events_sessionize": q_events_sessionize,
+        "session_windows": q_session_windows,
         "lineitem_agg": q_lineitem_agg,
         "split_assign": q_split_assign,
         "entity_string_parse": q_entity_string_parse,
@@ -1924,6 +1969,7 @@ def oracle_sql() -> dict:
         "fingerprint": SQL_FINGERPRINT,
         "bpe_estimate": SQL_BPE_ESTIMATE,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "session_windows": SQL_SESSION_WINDOWS,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "split_assign": SQL_SPLIT_ASSIGN,
         "entity_string_parse": SQL_ENTITY_STRING_PARSE,
