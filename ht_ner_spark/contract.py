@@ -1935,6 +1935,7 @@ def queries() -> dict:
         "trie_gazetteer": q_trie_gazetteer,
         "ann_bucketed": q_ann_bucketed,
         "embedding_near_dup": q_embedding_near_dup,
+        "ivf_topk": q_ivf_topk,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
@@ -1991,6 +1992,7 @@ def oracle_sql() -> dict:
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "ivf_topk": SQL_IVF_TOPK,
         "kg_pipeline_triples": _sql_kg_pipeline(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
@@ -2154,6 +2156,77 @@ pairs AS (
 SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
        round(sim, 4) AS sim
 FROM pairs WHERE sim >= {NEARDUP_MIN_COSINE}
+"""
+
+
+# ===========================================================================
+# 50. IVF top-k — centroid-partitioned ANN (the inverted-file counterpart of
+# sign-bucket LSH, similarity.ivf_topk). Determinism twin: centroids are the
+# IVF_CELLS lowest-id vectors (seed_centroids — a pure function of the data,
+# so DuckDB rebuilds the identical quantizer); the production path swaps in
+# kmeans_centroids (pyspark.ml, recall-gated in tests/test_ivf.py) with no
+# other code change. All ranking ties break (sim DESC, id ASC) — the same
+# cross-engine-stable double fold as embedding_topk/ann_bucketed.
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def q_ivf_topk(spark, sf_dir):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = vecs.where(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = sim.seed_centroids(vecs, n_cells=IVF_CELLS)
+    return sim.ivf_topk(vecs, queries_df, cents, k=ANN_K,
+                        nprobe=IVF_NPROBE).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_IVF_TOPK = f"""
+WITH c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         embedding AS cv
+  FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= {IVF_CELLS}
+),
+csims AS (
+  SELECT v.vec_id, c.cell,
+         list_sum(list_transform(range(1, len(v.embedding) + 1),
+            i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+  FROM embeddings v CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id AS neighbor_id, cell FROM csims
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM csims WHERE vec_id < {ANN_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC)
+          <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN asg a ON a.cell = p.cell
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_sum(list_transform(range(1, len(e1.embedding) + 1),
+            i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e1.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(e2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+  FROM cand c JOIN embeddings e1 ON e1.vec_id = c.neighbor_id
+              JOIN embeddings e2 ON e2.vec_id = c.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= {ANN_K}
 """
 
 

@@ -125,6 +125,102 @@ def bucketed_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def seed_centroids(vectors: DataFrame, n_cells: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> list[tuple[int, list[float]]]:
+    """Deterministic medoid coarse quantizer: the ``n_cells`` vectors of
+    smallest id, cell_id = their rank in id order. A pure function of the
+    data (no RNG, no float accumulation), so a SQL oracle reproduces the
+    cells bit-for-bit — the determinism twin of :func:`kmeans_centroids`
+    (same role as FakeTokenClassifier vs HFTokenClassifier in M1)."""
+    rows = (vectors.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy("id").limit(n_cells).collect())
+    return [(i, list(r["v"])) for i, r in enumerate(rows)]
+
+
+def kmeans_centroids(vectors: DataFrame, n_cells: int = 16, seed: int = 42,
+                     max_iter: int = 20, vec_col: str = "embedding"
+                     ) -> list[tuple[int, list[float]]]:
+    """Production coarse quantizer: pyspark.ml KMeans over the embedding
+    column (distributed Lloyd's — one pass over the data per iteration,
+    centroids broadcast by MLlib). Returns [(cell_id, centroid)] for
+    :func:`ivf_topk`. Seeded, but float reduction order makes it
+    cross-engine nondeterministic — pytest gates it on recall, the DuckDB
+    contract oracle pins the seed_centroids twin instead."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]
+
+
+def _cell_sims(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<double> of cosine(vec, centroid_i) in cell order — the literal
+    centroid table is folded into the plan, so assignment is a pure per-row
+    Project: ZERO shuffle and no N x K candidate explosion at any corpus
+    size (the IVF-assignment shape a 10^9-vector index needs). Keep
+    ``len(centroids)`` modest (<= ~256): each centroid is a plan literal."""
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in cv]) for _, cv in centroids
+    ])
+    return F.transform(cents, lambda c: cosine(vec, c))
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame,
+             centroids: list[tuple[int, list[float]]], k: int = 5,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", query_id_col: str = "query_id"
+             ) -> DataFrame:
+    """(query_id, neighbor_id, rank): approximate top-k via an IVF (inverted
+    file) index — the centroid-partitioned counterpart of the sign-bucket
+    LSH path. Every vector is assigned to its nearest centroid's cell (ties
+    -> lowest cell id); a query probes its ``nprobe`` nearest cells and
+    exact-cosine re-ranks within them. nprobe = len(centroids) degrades to
+    exact brute force (tests/test_ivf.py asserts equality).
+
+    Scale shape: assignment is a shuffle-free per-row Project (see
+    _cell_sims); the only shuffles are the cell-key candidate join and the
+    per-query top-k window — at 10^9 vectors the cell join replaces the
+    brute-force cartesian, and cells are size-balanced by construction when
+    centroids come from kmeans_centroids."""
+    n_cells = len(centroids)
+    nprobe = min(nprobe, n_cells)
+    sims = _cell_sims(F.col(vec_col).cast("array<double>"), centroids)
+    # argmax with lowest-index tie-break: array_position finds the FIRST
+    # occurrence of the max
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vvec"),
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
+    )
+    # top-nprobe cells per query, within-row: sort (−sim, cell) structs asc
+    probe_cells = F.slice(
+        F.array_sort(
+            F.zip_with(
+                sims, F.sequence(F.lit(0), F.lit(n_cells - 1)),
+                lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+            )
+        ),
+        1, nprobe,
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe_cells.getField("cell")).alias("cell"),
+    )
+    cand = v.join(q, "cell").where(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("vvec").cast("array<double>"),
+               F.col("qvec").cast("array<double>")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_dupes(vectors: DataFrame, min_cosine: float = 0.95,
                          bits: int = 6, id_col: str = "vec_id",
                          vec_col: str = "embedding",
