@@ -794,6 +794,62 @@ def fused_labeler_microbench(spark, rows: int = 4000) -> dict:
             "rows_per_sec_core": round(rows / sec, 1) if sec > 0 else None}
 
 
+def ann_tradeoff(spark, sf_dir: str, n_queries: int = 50, k: int = 10) -> dict | None:
+    """Measured cost/recall of every ANN path the engine ships, on the same
+    embeddings table and query set: exact brute force (the recall=1 anchor),
+    multi-table sign-bucket LSH, IVF with the deterministic seed-medoid
+    quantizer, and IVF with the production pyspark.ml kmeans quantizer
+    (its one-off training cost reported separately). Recall@k is measured
+    against the brute-force pairs, not assumed — the committed artifact is
+    the trade-off table a deployment would tune (cells, nprobe, tables,
+    bits) from."""
+    try:
+        from pyspark.sql import functions as F
+
+        from ht_ner_spark.contract import IVF_CELLS, IVF_NPROBE
+        from ht_ner_spark.operators import similarity as sim
+
+        vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        n_vecs = vecs.count()
+        queries = vecs.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+
+        def timed_pairs(df) -> tuple[set, float]:
+            t0 = time.monotonic()
+            rows = df.select("query_id", "neighbor_id").collect()
+            return ({(r["query_id"], r["neighbor_id"]) for r in rows},
+                    time.monotonic() - t0)
+
+        exact, sec_bf = timed_pairs(sim.brute_force_topk(vecs, queries, k=k))
+        out: dict = {
+            "n_vectors": n_vecs, "n_queries": n_queries, "k": k,
+            "brute_force": {"sec": round(sec_bf, 3), "recall_at_k": 1.0},
+        }
+
+        def add(name: str, df, extra: dict | None = None) -> None:
+            pairs, sec = timed_pairs(df)
+            out[name] = {"sec": round(sec, 3),
+                         "recall_at_k": round(len(exact & pairs) / len(exact), 3),
+                         **(extra or {})}
+
+        add("lsh_bucketed", sim.bucketed_ann_topk(vecs, queries, k=k),
+            {"tables": 8, "bits": 8})
+        seed_c = sim.seed_centroids(vecs, n_cells=IVF_CELLS)
+        add("ivf_seed", sim.ivf_topk(vecs, queries, seed_c, k=k, nprobe=IVF_NPROBE),
+            {"cells": IVF_CELLS, "nprobe": IVF_NPROBE})
+        t0 = time.monotonic()
+        km_c = sim.kmeans_centroids(vecs, n_cells=IVF_CELLS)
+        train_sec = time.monotonic() - t0
+        add("ivf_kmeans", sim.ivf_topk(vecs, queries, km_c, k=k, nprobe=IVF_NPROBE),
+            {"cells": IVF_CELLS, "nprobe": IVF_NPROBE,
+             "train_sec": round(train_sec, 3)})
+        vecs.unpersist()
+        return out
+    except Exception as exc:  # noqa: BLE001 - a trade-off probe must never sink the bench
+        sys.stderr.write(f"ann_tradeoff failed: {exc}\n")
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -839,6 +895,7 @@ def main() -> None:
     timings["kg_pipeline"] = pipe["sec"]
     total += pipe["sec"]
     micro = fused_labeler_microbench(spark)
+    ann = ann_tradeoff(spark, sf_dir)
     # host telemetry over the whole in-session suite: a cross-round headline
     # regression can now be read against the steal/busy it ran under
     # (round-2's 1.9x suite swing was unattributable — VERDICT r2 wrong-#2)
@@ -891,6 +948,8 @@ def main() -> None:
         "scaleout_calib": calib,
         "variants": variants,
         "fused_labeler_1core": micro,
+        # measured cost/recall of the four ANN paths on the same query set
+        "ann_tradeoff": ann,
     }
     gate = _scaling_gate(scaling, scaling_large)
     if gate:
