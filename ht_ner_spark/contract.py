@@ -1937,6 +1937,8 @@ def queries() -> dict:
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
         "kg_pipeline_triples": q_kg_pipeline_triples,
+        "graph_stats": q_graph_stats,
+        "hub_entities": q_hub_entities,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -1994,6 +1996,8 @@ def oracle_sql() -> dict:
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "ivf_topk": SQL_IVF_TOPK,
         "kg_pipeline_triples": _sql_kg_pipeline(),
+        "graph_stats": _sql_graph_stats(),
+        "hub_entities": _sql_hub_entities(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -2248,6 +2252,78 @@ def q_kg_pipeline_triples(spark, sf_dir):
     mentions, votes = stage1_mentions(corpus, cfg)
     ents = predicted_entities(weighted_vote(votes))  # votes carry tok
     return dedup_triples(build_triples(corpus, ents)).select("subj", "pred", "obj", "conf")
+
+
+# ===========================================================================
+# 51-52. Graph-materialize analytics — the north rule's stage 4 ends with a
+# MATERIALIZED graph; these two queries demonstrate the emitted KG is itself
+# a queryable DataFrame with the shapes a KG consumer asks first: the
+# per-predicate profile and the hub entities (the skewed keys stage 3's
+# salted joins exist for). Both recompute the flagship pipeline in BOTH
+# engines (Spark operators vs the DuckDB kg SQL as a derived table), so the
+# aggregate is oracle-checked end-to-end, not against a cached frame.
+
+def q_graph_stats(spark, sf_dir):
+    """Per-predicate graph profile: n_triples, distinct subjects/objects,
+    max confidence. max (not sum) keeps the float column order-independent
+    and therefore bit-stable across engines."""
+    t = q_kg_pipeline_triples(spark, sf_dir)
+    return t.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+        F.max("conf").alias("max_conf"),
+    )
+
+
+HUB_TOP_K = 10
+
+
+def q_hub_entities(spark, sf_dir):
+    """Top-degree subjects of the materialized graph (degree = triples
+    emitted, ties -> subj ASC): the hub-entity skew view. Exact distributed
+    top-k via exact_global_rank ((degree, subj) is duplicate-free) — the
+    same no-single-partition-Window shape as word_freq_topk (PLANS.md #8)."""
+    from .operators.rank import exact_global_rank
+
+    t = q_kg_pipeline_triples(spark, sf_dir)
+    deg = t.groupBy("subj").agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.countDistinct("pred").alias("n_preds"),
+    )
+    return (
+        exact_global_rank(deg, [F.desc("degree"), F.asc("subj")], "rank")
+        .where(F.col("rank") <= HUB_TOP_K)
+        .select("subj", F.col("degree").cast("long").alias("degree"),
+                F.col("n_preds").cast("long").alias("n_preds"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _sql_graph_stats() -> str:
+    return f"""
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_obj,
+       max(conf) AS max_conf
+FROM ({_sql_kg_pipeline()}) t
+GROUP BY pred
+"""
+
+
+def _sql_hub_entities() -> str:
+    return f"""
+WITH deg AS (
+  SELECT subj, CAST(count(*) AS BIGINT) AS degree,
+         CAST(count(DISTINCT pred) AS BIGINT) AS n_preds
+  FROM ({_sql_kg_pipeline()}) t
+  GROUP BY subj
+)
+SELECT subj, degree, n_preds,
+       CAST(row_number() OVER (ORDER BY degree DESC, subj ASC) AS BIGINT) AS rank
+FROM deg QUALIFY rank <= {HUB_TOP_K}
+"""
 
 
 def _sql_kg_pipeline() -> str:
