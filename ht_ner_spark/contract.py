@@ -1939,6 +1939,8 @@ def queries() -> dict:
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "graph_stats": q_graph_stats,
         "hub_entities": q_hub_entities,
+        "graph_triangles": q_graph_triangles,
+        "pagerank_topk": q_pagerank_topk,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -1998,6 +2000,8 @@ def oracle_sql() -> dict:
         "kg_pipeline_triples": _sql_kg_pipeline(),
         "graph_stats": _sql_graph_stats(),
         "hub_entities": _sql_hub_entities(),
+        "graph_triangles": _sql_graph_triangles(),
+        "pagerank_topk": _sql_pagerank_topk(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -2323,6 +2327,90 @@ WITH deg AS (
 SELECT subj, degree, n_preds,
        CAST(row_number() OVER (ORDER BY degree DESC, subj ASC) AS BIGINT) AS rank
 FROM deg QUALIFY rank <= {HUB_TOP_K}
+"""
+
+
+# ===========================================================================
+# 53-54. Graph algorithms over the materialized KG — triangle census of the
+# subject co-occurrence projection and fixed-iteration PageRank. Both
+# recompute the flagship pipeline in both engines (operators/graph.py vs the
+# kg SQL as a derived table); PageRank's 3 synchronous rounds are unrolled
+# as chained CTEs in the oracle, and ranks are rounded to 6 dp in BOTH
+# engines before ordering so the float compare is order-of-summation-proof
+# (the repo's established conf/sim convention).
+
+PR_TOP_K = 20
+
+
+def q_graph_triangles(spark, sf_dir):
+    """One-row census of the co-occurrence projection (shared-obj subject
+    pairs): n_nodes, n_edges, n_triangles, max_degree — all integer-exact."""
+    from .operators.graph import triangle_summary
+
+    return triangle_summary(q_kg_pipeline_triples(spark, sf_dir))
+
+
+def q_pagerank_topk(spark, sf_dir):
+    """Top-20 PageRank nodes of the directed subj->obj KG after 3 classic
+    un-normalized rounds (operators/graph.py); exact distributed top-k on
+    the duplicate-free key (rounded pr DESC, node ASC)."""
+    from .operators.graph import pagerank
+    from .operators.rank import exact_global_rank
+
+    t = q_kg_pipeline_triples(spark, sf_dir)
+    pr = pagerank(t).select("node", F.round("pr", 6).alias("pr"))
+    return (
+        exact_global_rank(pr, [F.desc("pr"), F.asc("node")], "rank")
+        .where(F.col("rank") <= PR_TOP_K)
+        .select("node", F.col("pr").cast("double").alias("pr"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _sql_graph_triangles() -> str:
+    return f"""
+WITH t AS ({_sql_kg_pipeline()}),
+so AS (SELECT DISTINCT subj, obj FROM t),
+e AS (SELECT DISTINCT a.subj AS u, b.subj AS v
+      FROM so a JOIN so b ON a.obj = b.obj AND a.subj < b.subj),
+deg AS (SELECT n, count(*) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n)
+SELECT (SELECT CAST(count(DISTINCT subj) AS BIGINT) FROM t) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
+       (SELECT CAST(coalesce(max(d), 0) AS BIGINT) FROM deg) AS max_degree
+"""
+
+
+def _sql_pagerank_topk() -> str:
+    from .operators.graph import PR_DAMPING, PR_ITERS
+
+    base = 1.0 - PR_DAMPING
+    rounds = []
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(f"""r{i} AS (
+  SELECT n.node,
+         CAST({base!r} AS DOUBLE)
+           + CAST({PR_DAMPING!r} AS DOUBLE)
+             * coalesce(c.s, CAST(0 AS DOUBLE)) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr / d.outdeg) AS s
+    FROM e JOIN deg d ON e.src = d.src JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst) c ON n.node = c.node)""")
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH t AS ({_sql_kg_pipeline()}),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) AS pr FROM nodes),
+{rounds_sql}
+SELECT node, CAST(round(pr, 6) AS DOUBLE) AS pr,
+       CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, node ASC)
+            AS BIGINT) AS rank
+FROM r{PR_ITERS} QUALIFY rank <= {PR_TOP_K}
 """
 
 

@@ -1,0 +1,145 @@
+"""Consumer-side graph analytics over the materialized KG (stage-4 output).
+
+The reference stops at materializing the triple CSV
+(`/root/reference/src/kg_construction_HT.py` analog — see operators/triples.py
+for the emit-side parity); a production KG pipeline is immediately asked the
+next questions: which entities co-occur, how clustered is the graph, which
+nodes are central. These operators answer them with plain DataFrame
+joins/aggs so Catalyst + AQE own the physical strategy.
+
+Public algorithms only:
+* triangle counting via the edge-iterator join (Suri & Vassilvitskii,
+  "Counting Triangles and the Curse of the Last Reducer", WWW'11 — the
+  MapReduce formulation; here each "round" is an equi-join Catalyst plans);
+* PageRank, classic un-normalized form r' = (1-d) + d * sum(r/outdeg)
+  (Page et al. 1999; same semantics as Spark's own examples/pagerank).
+
+Scale notes (100 TB posture):
+* ``copair_edges`` is a bipartite projection — a hot object (an obj value
+  shared by k subjects) fans out k*(k-1)/2 edges. AQE skew-split handles
+  moderate skew; for web-scale hubs callers cap per-object fan-out with
+  ``max_obj_degree`` (dropped hot objects are RETURNED, not silently
+  swallowed — same contract as dedup/linking's dropped-block frames).
+* ``pagerank`` is the canonical iterate = join(edges, ranks) + groupBy(dst)
+  shuffle per round; the rank frame is repartitioned once on node so every
+  iteration reuses the same hash partitioning, and lineage is truncated
+  with localCheckpoint every ``checkpoint_every`` rounds (components.py
+  learned this the hard way — an unbounded iterative plan OOMs the planner
+  long before the data hurts).
+* triangle counting's first join produces the wedge frame (sum of
+  deg(v)^2); the standard mitigation at web scale is degree-ordered
+  orientation, which this edge set already has (edges stored u < v only),
+  halving wedge generation vs an undirected adjacency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def copair_edges(triples: DataFrame,
+                 max_obj_degree: int | None = None,
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Undirected subject-subject co-occurrence edges via a shared object
+    (the bipartite projection of the KG). Returns ``(edges, dropped)``:
+    edges as (u, v) with u < v, distinct; dropped = the hot objects excluded
+    by ``max_obj_degree`` (empty frame when no cap or nothing hot).
+    """
+    so = triples.select("subj", "obj").distinct()
+    if max_obj_degree is not None:
+        od = so.groupBy("obj").agg(F.count(F.lit(1)).alias("obj_deg"))
+        hot = od.where(F.col("obj_deg") > max_obj_degree)
+        dropped = hot.select("obj", "obj_deg")
+        so = so.join(F.broadcast(hot.select("obj")), "obj", "left_anti")
+    else:
+        dropped = so.sparkSession.createDataFrame(
+            [], "obj string, obj_deg long")
+    a, b = so.alias("a"), so.alias("b")
+    edges = (
+        a.join(b, (F.col("a.obj") == F.col("b.obj"))
+               & (F.col("a.subj") < F.col("b.subj")))
+        .select(F.col("a.subj").alias("u"), F.col("b.subj").alias("v"))
+        .distinct()
+    )
+    return edges, dropped
+
+
+def triangle_summary(triples: DataFrame) -> DataFrame:
+    """One-row graph profile of the co-occurrence projection:
+    (n_nodes, n_edges, n_triangles, max_degree).
+
+    n_nodes counts distinct subjects of the KG (isolated ones included);
+    triangles are counted once each via the oriented wedge join: edges are
+    stored u < v, wedges (a<b<c) come from e1.v = e2.u, and a semi-join
+    against the closing edge (a, c) keeps only closed wedges.
+    """
+    edges, _ = copair_edges(triples)
+    edges = edges.localCheckpoint()  # 3 consumers below — scan once
+    wedges = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+                F.col("e2.v").alias("c"))
+    )
+    closed = wedges.join(
+        edges.alias("e3"),
+        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+        "left_semi",
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select("v"))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_nodes = triples.agg(
+        F.countDistinct("subj").cast("long").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    max_deg = deg.agg(
+        F.coalesce(F.max("d"), F.lit(0)).cast("long").alias("max_degree"))
+    # four 1-row aggregates -> one summary row (cross of singletons, no data
+    # shuffle beyond the aggs themselves)
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri).crossJoin(max_deg)
+
+
+def pagerank(triples: DataFrame, iters: int = PR_ITERS,
+             damping: float = PR_DAMPING,
+             checkpoint_every: int = 8) -> DataFrame:
+    """(node, pr) after ``iters`` synchronous PageRank rounds over the
+    DIRECTED subj->obj edge set (distinct edges; node set = subjects plus
+    objects). Un-normalized classic form: r'(v) = (1-d) + d * sum over
+    in-neighbors u of r(u)/outdeg(u); dangling nodes simply contribute
+    nothing (Page et al. 1999 variant, matching Spark's example semantics).
+    Deterministic given the edge set — used fixed-iteration so the contract
+    oracle can unroll the same rounds in SQL.
+    """
+    e = triples.select(F.col("subj").alias("src"),
+                       F.col("obj").alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select("dst")).distinct())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg) is loop-invariant; checkpoint so every round rescans
+    # a materialized frame instead of re-deriving distinct+join lineage
+    src_edges = e.join(deg, "src").localCheckpoint()
+    nodes = nodes.localCheckpoint()
+    ranks = nodes.withColumn("pr", F.lit(1.0))
+    for i in range(iters):
+        contribs = (
+            src_edges.join(ranks, src_edges.src == ranks.node)
+            .select(F.col("dst").alias("node"),
+                    (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(1.0 - damping)
+             + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+             ).alias("pr"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks

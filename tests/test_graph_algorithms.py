@@ -1,0 +1,83 @@
+"""Graph algorithms over the materialized KG (operators/graph.py; contract
+`graph_triangles` / `pagerank_topk`). Cross-engine value equality is the
+driver's DuckDB gate; here each operator is recounted against a driver-side
+brute-force oracle on the collected sf0.001 edge list, so the distributed
+join shapes (wedge join, per-round contribution shuffle) are checked against
+plain Python, not against themselves.
+"""
+from collections import defaultdict
+
+import pytest
+
+from ht_ner_spark import contract as C
+from ht_ner_spark.operators.graph import (
+    PR_DAMPING, PR_ITERS, copair_edges, pagerank, triangle_summary,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return C.q_kg_pipeline_triples(spark, SF).cache()
+
+
+def test_triangle_summary_matches_bruteforce(spark, triples):
+    row = triangle_summary(triples).collect()[0]
+    edges, _ = copair_edges(triples)
+    e = {(r["u"], r["v"]) for r in edges.collect()}
+    assert row["n_edges"] == len(e)
+    adj = defaultdict(set)
+    for u, v in e:
+        adj[u].add(v)
+        adj[v].add(u)
+    assert row["max_degree"] == max((len(s) for s in adj.values()), default=0)
+    tri = sum(
+        1 for u, v in e for w in (adj[u] & adj[v]) if v < w
+    )  # oriented count: each triangle once via its (min, mid) edge
+    assert row["n_triangles"] == tri
+    assert tri > 0  # non-vacuous on the test corpus
+    assert row["n_nodes"] == triples.select("subj").distinct().count()
+
+
+def test_copair_degree_cap_reports_dropped(spark, triples):
+    full, none_dropped = copair_edges(triples)
+    assert none_dropped.count() == 0
+    capped, dropped = copair_edges(triples, max_obj_degree=2)
+    hot = {r["obj"] for r in dropped.collect()}
+    assert all(r["obj_deg"] > 2 for r in dropped.collect())
+    # capped edge set == brute-force projection excluding hot objects
+    so = [(r["subj"], r["obj"]) for r in
+          triples.select("subj", "obj").distinct().collect()]
+    by_obj = defaultdict(list)
+    for s, o in so:
+        if o not in hot:
+            by_obj[o].append(s)
+    want = {(a, b) for subs in by_obj.values()
+            for a in subs for b in subs if a < b}
+    assert {(r["u"], r["v"]) for r in capped.collect()} == want
+    assert capped.count() < full.count()
+
+
+def test_pagerank_matches_local_iterations(spark, triples):
+    got = {r["node"]: r["pr"] for r in pagerank(triples).collect()}
+    e = {(r["src"], r["dst"]) for r in triples.select(
+        triples.subj.alias("src"), triples.obj.alias("dst"))
+        .distinct().collect()}
+    nodes = {u for u, _ in e} | {v for _, v in e}
+    outdeg = defaultdict(int)
+    for u, _ in e:
+        outdeg[u] += 1
+    pr = {n: 1.0 for n in nodes}
+    for _ in range(PR_ITERS):
+        s = defaultdict(float)
+        for u, v in e:
+            s[v] += pr[u] / outdeg[u]
+        pr = {n: (1.0 - PR_DAMPING) + PR_DAMPING * s[n] for n in nodes}
+    assert set(got) == nodes
+    assert all(abs(got[n] - pr[n]) < 1e-9 for n in nodes)
+    # structural invariants: floor at (1-d) for in-degree-0 nodes, never below
+    indeg0 = nodes - {v for _, v in e}
+    assert indeg0 and all(got[n] == pytest.approx(1.0 - PR_DAMPING)
+                          for n in indeg0)
+    assert min(got.values()) >= (1.0 - PR_DAMPING) - 1e-12
