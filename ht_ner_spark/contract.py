@@ -1941,6 +1941,7 @@ def queries() -> dict:
         "hub_entities": q_hub_entities,
         "graph_triangles": q_graph_triangles,
         "pagerank_topk": q_pagerank_topk,
+        "kg_upsert": q_kg_upsert,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2002,6 +2003,7 @@ def oracle_sql() -> dict:
         "hub_entities": _sql_hub_entities(),
         "graph_triangles": _sql_graph_triangles(),
         "pagerank_topk": _sql_pagerank_topk(),
+        "kg_upsert": _sql_kg_upsert(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -2411,6 +2413,66 @@ SELECT node, CAST(round(pr, 6) AS DOUBLE) AS pr,
        CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, node ASC)
             AS BIGINT) AS rank
 FROM r{PR_ITERS} QUALIFY rank <= {PR_TOP_K}
+"""
+
+
+# ===========================================================================
+# 55. Incremental KG upsert — merge a delta triple batch into an existing
+# graph with CDC status tags (operators/triples.upsert_triples). The
+# existing/delta split is a pure function of the triple key via a PORTABLE
+# md5 bucket (both engines compute the identical split — the
+# tag_run_substitute convention): the existing graph holds buckets 0-7 with
+# buckets 0-1 DISCOUNTED to half conf (an older crawl's lower-confidence
+# observations), the delta re-observes buckets 0-1 at full conf and brings
+# buckets 8-f as new keys — so all three statuses (new / updated /
+# unchanged) are exercised deterministically at every scale, including the
+# sf0.001 corpus where every pipeline conf is exactly 1.0.
+
+def q_kg_upsert(spark, sf_dir):
+    from .operators.triples import upsert_triples
+
+    t = q_kg_pipeline_triples(spark, sf_dir).select(
+        "subj", "pred", "obj", "conf")
+    b = F.substring(F.md5(F.concat_ws("\x1f", "subj", "pred", "obj")), 1, 1)
+    lo = b.isin(*"01234567")          # ~half the keys: the existing graph
+    existing = t.where(lo).withColumn(
+        "conf",
+        F.when(b.isin("0", "1"),
+               F.round(F.col("conf") * F.lit(0.5).cast("double"), 6))
+        .otherwise(F.col("conf")),
+    )
+    delta = t.where(~lo).unionByName(t.where(b.isin("0", "1")))
+    return upsert_triples(existing, delta)
+
+
+def _sql_kg_upsert() -> str:
+    return f"""
+WITH t AS (SELECT subj, pred, obj, conf FROM ({_sql_kg_pipeline()})),
+b AS (SELECT *, substring(md5(concat_ws(chr(31), subj, pred, obj)), 1, 1)
+             AS bk FROM t),
+existing AS (SELECT subj, pred, obj,
+                    CASE WHEN bk IN ('0','1')
+                         THEN round(conf * CAST(0.5 AS DOUBLE), 6)
+                         ELSE conf END AS conf
+             FROM b WHERE bk IN ('0','1','2','3','4','5','6','7')),
+delta AS (
+  SELECT subj, pred, obj, conf FROM b
+  WHERE bk NOT IN ('0','1','2','3','4','5','6','7')
+  UNION ALL
+  SELECT subj, pred, obj, conf FROM b WHERE bk IN ('0','1')),
+ek AS (SELECT subj, pred, obj, max(conf) AS e_conf FROM existing
+       GROUP BY subj, pred, obj),
+dk AS (SELECT subj, pred, obj, max(conf) AS d_conf FROM delta
+       GROUP BY subj, pred, obj)
+SELECT coalesce(ek.subj, dk.subj) AS subj,
+       coalesce(ek.pred, dk.pred) AS pred,
+       coalesce(ek.obj, dk.obj) AS obj,
+       greatest(coalesce(e_conf, d_conf), coalesce(d_conf, e_conf)) AS conf,
+       CASE WHEN e_conf IS NULL THEN 'new'
+            WHEN d_conf IS NOT NULL AND d_conf > e_conf THEN 'updated'
+            ELSE 'unchanged' END AS status
+FROM ek FULL OUTER JOIN dk
+  ON ek.subj = dk.subj AND ek.pred = dk.pred AND ek.obj = dk.obj
 """
 
 

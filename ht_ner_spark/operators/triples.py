@@ -91,6 +91,40 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     )
 
 
+def upsert_triples(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental KG maintenance: merge a delta triple batch into an
+    existing graph. Returns (subj, pred, obj, conf, status) where conf is
+    the max over both inputs (A9's merge rule) and status is the CDC tag a
+    downstream consumer keys on: 'new' (key only in delta), 'updated'
+    (delta raised the key's conf), 'unchanged' otherwise.
+
+    Shape at scale: both sides pre-aggregate to one row per key (map-side
+    combine), then ONE full-outer shuffle join on (subj, pred, obj) — the
+    engine-neutral relational form of MERGE INTO. Under the Iceberg catalog
+    (storage/catalog.py) the same delta feeds overwritePartitions /
+    MERGE INTO instead; pred-partitioned output keeps the rewrite pruned to
+    touched predicates. Reference analog: the reference regenerates its
+    triple CSV from scratch each run (no incremental path) — this is the
+    operator a continuously-crawled corpus needs instead.
+    """
+    key = ["subj", "pred", "obj"]
+    ek = existing.groupBy(*key).agg(F.max("conf").alias("e_conf"))
+    dk = delta.groupBy(*key).agg(F.max("conf").alias("d_conf"))
+    return ek.join(dk, key, "full_outer").select(
+        *key,
+        F.greatest(
+            F.coalesce("e_conf", "d_conf"), F.coalesce("d_conf", "e_conf")
+        ).alias("conf"),
+        F.when(F.col("e_conf").isNull(), F.lit("new"))
+        .when(
+            F.col("d_conf").isNotNull() & (F.col("d_conf") > F.col("e_conf")),
+            F.lit("updated"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
 def write_triples(triples: DataFrame, path: str, pred_partitions: int | None = None) -> None:
     out = dedup_triples(triples)
     # hash (pred, subj), never pred alone: with a handful of predicates a
