@@ -975,6 +975,65 @@ FROM base
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    return ts.tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+SQL_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 4) AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, tfidf, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_term_cooccurrence(spark, sf_dir):
+    return ts.term_cooccurrence(_docs(spark, sf_dir), k=100)
+
+
+SQL_TERM_COOCCURRENCE = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents) WHERE term <> ''
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+band AS (SELECT term, count(*) AS n_t FROM dt GROUP BY term),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(na.n_t AS BIGINT) AS n_a, CAST(nb.n_t AS BIGINT) AS n_b,
+       round(ln(CAST(n.n_docs AS DOUBLE) * n_ab / (na.n_t * nb.n_t)), 4) AS pmi
+FROM pairs JOIN band na ON pairs.term_a = na.term
+           JOIN band nb ON pairs.term_b = nb.term
+           CROSS JOIN n
+ORDER BY pmi DESC, term_a ASC, term_b ASC
+LIMIT 100
+"""
+
+
 def q_bpe_estimate(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -1913,6 +1972,8 @@ def queries() -> dict:
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "bpe_estimate": q_bpe_estimate,
+        "tfidf_topk": q_tfidf_topk,
+        "term_cooccurrence": q_term_cooccurrence,
         "events_sessionize": q_events_sessionize,
         "session_windows": q_session_windows,
         "lineitem_agg": q_lineitem_agg,
@@ -1974,6 +2035,8 @@ def oracle_sql() -> dict:
         "language_id": _sql_language_id(),
         "fingerprint": SQL_FINGERPRINT,
         "bpe_estimate": SQL_BPE_ESTIMATE,
+        "tfidf_topk": SQL_TFIDF_TOPK,
+        "term_cooccurrence": SQL_TERM_COOCCURRENCE,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "session_windows": SQL_SESSION_WINDOWS,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -105,6 +105,116 @@ def language_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, tf, df, tfidf, rnk): per-document top-k terms by
+    tf-idf (idf = ln(n_docs / df), raw tf, round 4dp; ties broken term asc).
+
+    100 TB shape: one explode + (doc_id, term) partial-agg shuffle for tf,
+    one vocabulary-sized agg for df that is BROADCAST back (a term dictionary
+    is tiny relative to the corpus — web-crawl vocab is millions of rows,
+    the corpus trillions), n_docs via a 1-row broadcast cross join (no
+    driver-side count job), and the top-k window partitioned by doc_id —
+    never a global window. Reference analog: word-frequency ranking feeding
+    antirules (src/neat_extractors.py count/most_common), generalized to the
+    curation-pipeline tf-idf feature."""
+    toks = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term")
+    pairs = df.select(F.col(id_col).alias("doc_id"), toks).where(F.col("term") != "")
+    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def term_cooccurrence(df: DataFrame, k: int = 100, min_df: int = 1,
+                      max_df_ratio: float = 1.0, min_pairs: int = 1,
+                      max_terms_per_doc: int | None = None,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(term_a, term_b, n_ab, n_a, n_b, pmi): top-k term-association pairs by
+    pointwise mutual information over document co-occurrence
+    (pmi = ln(n_docs * n_ab / (n_a * n_b)), doc-level presence counts,
+    term_a < term_b, round 4dp; ties term_a, term_b asc).
+
+    100 TB shape: the within-document pair fan-out is the hazard — it is
+    quadratic in distinct terms per doc. Three guards: (a) the df band
+    [min_df, max_df_ratio*n_docs] prunes both the head (stopword-like terms
+    that pair with everything) and the tail (hapaxes that never reach
+    min_pairs) BEFORE the self-join, via a broadcast of the vocabulary-sized
+    band; (b) optional max_terms_per_doc caps the per-doc fan-out
+    deterministically (alphabetic — reproducible in any engine, unlike a
+    sample); (c) the final top-k is orderBy().limit() = TakeOrdered, a
+    per-partition k-heap + driver merge, never a global sort. The pair join
+    itself is doc_id-keyed — co-located, one shuffle."""
+    dt = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    band = (
+        dt.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+        .join(F.broadcast(n_docs))
+        .where((F.col("n_t") >= min_df)
+               & (F.col("n_t") <= F.col("n_docs") * max_df_ratio))
+        .select("term", "n_t")
+    )
+    dtb = dt.join(F.broadcast(band), "term").select("doc_id", "term")
+    if max_terms_per_doc is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("term")
+        dtb = (dtb.withColumn("_r", F.row_number().over(w))
+               .where(F.col("_r") <= max_terms_per_doc).drop("_r"))
+    a, b = dtb.alias("a"), dtb.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pairs)
+    )
+    na = band.select(F.col("term").alias("term_a"), F.col("n_t").alias("n_a"))
+    nb = band.select(F.col("term").alias("term_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "term_a").join(F.broadcast(nb), "term_b")
+        .join(F.broadcast(n_docs))
+        .select(
+            "term_a", "term_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.log(F.col("n_docs").cast("double") * F.col("n_ab")
+                      / (F.col("n_a") * F.col("n_b"))), 4
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+        .limit(k)
+    )
+
+
 def document_fingerprint(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", stride: int = 5) -> DataFrame:
     """(doc_id, fingerprint): order-sensitive digest of every `stride`-th
