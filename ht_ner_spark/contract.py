@@ -1093,6 +1093,32 @@ FROM flagged GROUP BY user_id
 
 
 # ===========================================================================
+# 19a. as-of attribution over the event stream (operators/asof.py): every
+# click attributed to the user's most recent view at-or-before it. Oracle =
+# DuckDB's native ASOF LEFT JOIN (l.ts >= r.ts), timestamps compared as
+# exact integer microseconds.
+
+def q_asof_attribution(spark, sf_dir):
+    from .operators.asof import click_attribution
+
+    return click_attribution(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+SQL_ASOF_ATTRIBUTION = """
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+     views  AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(c.user_id AS BIGINT) AS user_id,
+       epoch_us(c.ts) AS click_us,
+       CAST(v.event_id AS BIGINT) AS view_id,
+       epoch_us(v.ts) AS view_us,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+# ===========================================================================
 # 19b. native session windows (streaming/windowed.py — the SAME plan runs
 # batch and streaming; oracle = gaps-and-islands rewrite). Spark's
 # F.session_window merges an event into the open session when
@@ -1162,6 +1188,40 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem WHERE l_quantity >= 10
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+# ===========================================================================
+# 20b. single-pass numeric column profile (operators/profile.py): the
+# ingest-gate data-quality stats. Exact distincts + decimal-exact mean +
+# exact interpolated quantiles, one agg pass, per-column rows via struct
+# explode (never a re-scan per column).
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_column_profile(spark, sf_dir):
+    from .operators.profile import profile_numeric
+
+    return profile_numeric(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), PROFILE_COLS)
+
+
+def _sql_column_profile() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count({c}) AS BIGINT) AS n_non_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       round(CAST(min({c}) AS DOUBLE), 4) AS min_v,
+       round(CAST(max({c}) AS DOUBLE), 4) AS max_v,
+       round(CAST(sum(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) / count({c}), 4)
+         AS mean_v,
+       round(quantile_cont(CAST({c} AS DOUBLE), 0.5), 4) AS q_50,
+       round(quantile_cont(CAST({c} AS DOUBLE), 0.95), 4) AS q_95
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
 
 
 # ===========================================================================
@@ -1975,8 +2035,10 @@ def queries() -> dict:
         "tfidf_topk": q_tfidf_topk,
         "term_cooccurrence": q_term_cooccurrence,
         "events_sessionize": q_events_sessionize,
+        "asof_attribution": q_asof_attribution,
         "session_windows": q_session_windows,
         "lineitem_agg": q_lineitem_agg,
+        "column_profile": q_column_profile,
         "split_assign": q_split_assign,
         "entity_string_parse": q_entity_string_parse,
         "truncate_words": q_truncate_words,
@@ -2038,8 +2100,10 @@ def oracle_sql() -> dict:
         "tfidf_topk": SQL_TFIDF_TOPK,
         "term_cooccurrence": SQL_TERM_COOCCURRENCE,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "asof_attribution": SQL_ASOF_ATTRIBUTION,
         "session_windows": SQL_SESSION_WINDOWS,
         "lineitem_agg": SQL_LINEITEM_AGG,
+        "column_profile": _sql_column_profile(),
         "split_assign": SQL_SPLIT_ASSIGN,
         "entity_string_parse": SQL_ENTITY_STRING_PARSE,
         "truncate_words": SQL_TRUNCATE_WORDS,
