@@ -2065,6 +2065,9 @@ def queries() -> dict:
         "graph_triangles": q_graph_triangles,
         "pagerank_topk": q_pagerank_topk,
         "kg_upsert": q_kg_upsert,
+        "kg_negative_sample": q_kg_negative_sample,
+        "repetition_stats": q_repetition_stats,
+        "decontam_overlap": q_decontam_overlap,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2131,6 +2134,9 @@ def oracle_sql() -> dict:
         "graph_triangles": _sql_graph_triangles(),
         "pagerank_topk": _sql_pagerank_topk(),
         "kg_upsert": _sql_kg_upsert(),
+        "kg_negative_sample": _sql_kg_negative_sample(),
+        "repetition_stats": SQL_REPETITION_STATS,
+        "decontam_overlap": SQL_DECONTAM_OVERLAP,
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -2668,4 +2674,108 @@ SELECT DISTINCT subj, pred, obj, CAST(1.0 AS DOUBLE) AS conf FROM (
   SELECT e.entity AS subj, 'appears_in' AS pred, u.source AS obj
   FROM ents e JOIN uri u USING (doc_id)
 )
+"""
+
+
+# ===========================================================================
+# 60-62. Training-data curation additions: Gopher-style repetition quality
+# signals, benchmark decontamination (train-test n-gram overlap), and KG
+# negative sampling for embedding training. Reference analog: the curation
+# role of its dedup/cleaning passes (src/dataset.py drop_duplicates usage);
+# the math follows the public recipes (Gopher §A1.1 repetition filters;
+# GPT-3/PaLM 13-gram decontamination; TransE corrupt-one-side negatives).
+
+DECONTAM_N = 4          # production uses 13-grams; short synthetic docs -> 4
+DECONTAM_EVAL_MOD = 25  # doc_id % 25 == 0 is the held-out "benchmark" slice
+
+
+def q_repetition_stats(spark, sf_dir):
+    return ts.repetition_stats(_docs(spark, sf_dir))
+
+
+SQL_REPETITION_STATS = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, 2 AS n,
+         unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS gram
+  FROM base
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS gram
+  FROM base
+),
+counts AS (SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY ALL),
+top2 AS (
+  SELECT doc_id AS d2, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+  FROM counts WHERE n = 2
+),
+per AS (
+  SELECT doc_id,
+         sum(CASE WHEN n = 2 THEN cnt END) AS n_bigrams,
+         sum(CASE WHEN n = 3 THEN cnt END) AS n_trigrams,
+         sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt END) AS dup3
+  FROM counts GROUP BY doc_id
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       t.gram AS top_bigram,
+       CAST(t.cnt AS BIGINT) AS top_bigram_cnt,
+       round(CAST(t.cnt AS DOUBLE) / greatest(p.n_bigrams, 1), 4) AS top_bigram_frac,
+       round(CAST(coalesce(p.dup3, 0) AS DOUBLE) / greatest(p.n_trigrams, 1), 4)
+         AS dup_trigram_frac
+FROM per p JOIN top2 t ON p.doc_id = t.d2 AND t.rn = 1
+"""
+
+
+def q_decontam_overlap(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    corpus = d.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    return ts.decontaminate(corpus, ev, n=DECONTAM_N)
+
+
+SQL_DECONTAM_OVERLAP = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(toks[i:i+{DECONTAM_N - 1}], ' ')
+                 FOR i IN range(1, len(toks) - {DECONTAM_N - 2})]) AS gram
+  FROM base
+),
+e AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+c AS (SELECT doc_id, gram FROM grams WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0),
+tot AS (SELECT doc_id, count(*) AS total_grams FROM c GROUP BY doc_id),
+sh AS (SELECT doc_id, count(*) AS shared_grams FROM c JOIN e USING (gram) GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(shared_grams AS BIGINT) AS shared_grams,
+       CAST(total_grams AS BIGINT) AS total_grams,
+       round(CAST(shared_grams AS DOUBLE) / total_grams, 4) AS contamination
+FROM sh JOIN tot USING (doc_id)
+"""
+
+
+def q_kg_negative_sample(spark, sf_dir):
+    from .operators.triples import negative_sample
+
+    return negative_sample(q_kg_pipeline_triples(spark, sf_dir))
+
+
+def _sql_kg_negative_sample() -> str:
+    return f"""
+WITH t AS ({_sql_kg_pipeline()}),
+vocab AS (
+  SELECT cand, row_number() OVER (ORDER BY cand) AS idx
+  FROM (SELECT DISTINCT obj AS cand FROM t)
+),
+n AS (SELECT count(*) AS n_cand FROM vocab)
+SELECT t.subj, t.pred, t.obj, v.cand AS neg_obj
+FROM t CROSS JOIN n
+JOIN vocab v ON v.idx =
+  ('0x' || substr(md5(t.subj || ':' || t.pred || ':' || t.obj), 1, 8))::BIGINT
+    % n.n_cand + 1
+WHERE v.cand <> t.obj
 """

@@ -225,3 +225,120 @@ def document_fingerprint(df: DataFrame, text_col: str = "text",
         F.col(id_col).alias("doc_id"),
         F.md5(F.concat_ws("\x1f", sampled)).alias("fingerprint"),
     )
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """array of ALL (non-distinct, order-preserving) n-word grams of
+    lower(trim(col)) — the counting variant of dedup.word_shingles (which
+    distincts for set semantics). Same let-binding trick: the regex split is
+    bound once via F.aggregate over a 1-element array so Catalyst does not
+    re-inline it per element (measured 2x+ on the minhash query)."""
+    def grams(toks):
+        return F.filter(
+            F.transform(
+                toks,
+                lambda x, i: F.when(
+                    i + n <= F.size(toks),
+                    F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+
+    return F.aggregate(
+        F.array(F.split(F.lower(F.trim(col)), r"\s+")),
+        F.array().cast("array<string>"),
+        lambda acc, toks: grams(toks),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, top_bigram, top_bigram_cnt, top_bigram_frac,
+    dup_trigram_frac): the Gopher-style within-document repetition quality
+    signals (Rae et al. 2021 §A1.1: "fraction of characters in the most
+    common n-gram" / "fraction of duplicate n-grams") over word 2/3-grams —
+    high values mark boilerplate/spam docs a curation pipeline drops.
+
+    100 TB shape: ONE corpus scan builds both gram arrays row-side (pure
+    HOFs, whole-stage codegen), one explode, then a (doc_id, n, gram)
+    partial-aggregated shuffle and a doc_id-keyed rollup — map-side combine
+    absorbs the within-doc repetition (the very thing being measured), and
+    everything is keyed by doc_id so no global structure exists. The top
+    bigram is a min(struct(-cnt, gram)) — deterministic tie-break (highest
+    count, then gram asc), no per-doc sort. Docs with < 2 tokens have no
+    bigram and are (documented) absent from the output."""
+    g2 = word_ngrams(F.col(text_col), 2)
+    g3 = word_ngrams(F.col(text_col), 3)
+    tagged = F.concat(
+        F.transform(g2, lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))),
+        F.transform(g3, lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))),
+    )
+    counts = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tagged).alias("s"))
+        .select("doc_id", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    two = F.col("n") == 2
+    three = F.col("n") == 3
+    per = counts.groupBy("doc_id").agg(
+        F.sum(F.when(two, F.col("cnt"))).alias("n_bigrams"),
+        F.min(F.when(two, F.struct((-F.col("cnt")).alias("neg"),
+                                   F.col("gram").alias("gram")))).alias("top2"),
+        F.sum(F.when(three, F.col("cnt"))).alias("n_trigrams"),
+        F.sum(F.when(three & (F.col("cnt") > 1), F.col("cnt"))).alias("dup3"),
+    )
+    return per.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("top2.gram").alias("top_bigram"),
+        (-F.col("top2.neg")).cast("long").alias("top_bigram_cnt"),
+        F.round((-F.col("top2.neg")).cast("double")
+                / F.greatest(F.col("n_bigrams"), F.lit(1)), 4).alias("top_bigram_frac"),
+        F.round(F.coalesce(F.col("dup3"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_trigrams"), F.lit(1)), 4).alias("dup_trigram_frac"),
+    )
+
+
+def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 4,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shared_grams, total_grams, contamination): benchmark
+    decontamination — for every corpus document sharing at least one word
+    n-gram with the eval/benchmark set, the count of its distinct n-grams
+    seen in ANY eval doc and the contaminated fraction (the GPT-3/PaLM
+    train-test-overlap check; production uses 13-grams — n is a parameter,
+    pinned smaller here for the short synthetic docs).
+
+    100 TB shape: the eval side is a benchmark — thousands of docs, not
+    billions — so its distinct gram set is BROADCAST with a hit flag; the
+    corpus side is ONE scan + explode + per-doc distinct, left-joined
+    map-side, and both counters (total grams, shared grams) come out of a
+    single doc_id-keyed aggregation — no second corpus scan and no
+    doc-level join (a shared⋈totals join would tempt Catalyst into
+    broadcasting the corpus-sized totals side at small SF). Clean docs
+    drop at the final filter, so the output is contamination-sized."""
+    c_grams = (
+        corpus.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array_distinct(word_ngrams(F.col(text_col), n)))
+                      .alias("gram"))
+    )
+    e_grams = (
+        eval_df.select(F.explode(F.array_distinct(word_ngrams(F.col(text_col), n)))
+                       .alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        c_grams.join(F.broadcast(e_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("total_grams"),
+             F.count("_hit").alias("shared_grams"))
+        .where(F.col("shared_grams") > 0)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("shared_grams").cast("long").alias("shared_grams"),
+            F.col("total_grams").cast("long").alias("total_grams"),
+            F.round(F.col("shared_grams").cast("double") / F.col("total_grams"), 4)
+            .alias("contamination"),
+        )
+    )

@@ -175,3 +175,40 @@ def sha_invariant_audit(corpus: DataFrame, triples: DataFrame,
     src = corpus.select(F.col("content_sha256").alias("sha")).distinct()
     probe = triples.select(F.col("lineage.content_sha256").alias("sha"))
     return probe.distinct().join(src, "sha", "left_anti")
+
+
+def negative_sample(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj, neg_obj): one deterministic corrupted-object
+    negative per triple — the standard KG-embedding training-data op
+    (TransE-family corrupt-one-side sampling, Bordes et al. 2013), made
+    reproducible: the replacement is vocab[md5(subj:pred:obj) mod |vocab|]
+    over the alphabetically-indexed object vocabulary, so any engine
+    (the DuckDB oracle included) derives the identical negatives. Triples
+    whose draw lands on their own object are dropped (standard filtered
+    sampling) rather than re-drawn — also deterministic.
+
+    100 TB shape: the object vocabulary of a KG is entity-sized (millions),
+    orders of magnitude under the triple count, so it is indexed once with
+    exact_global_rank (range-partitioned row_number — no single-partition
+    Window; rank.py) and BROADCAST; each triple computes its draw row-side
+    (md5 + mod, whole-stage codegen) and map-side-joins the vocab. Zero
+    shuffle of the triple stream."""
+    from .rank import exact_global_rank
+
+    vocab = exact_global_rank(
+        triples.select(F.col("obj").alias("cand")).distinct(),
+        [F.asc("cand")], "idx",
+    )
+    n_cand = vocab.agg(F.max("idx").alias("n_cand"))
+    draw = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", "subj", "pred", "obj")), 1, 8),
+               16, 10).cast("long") % F.col("n_cand") + 1
+    )
+    return (
+        triples.select("subj", "pred", "obj")
+        .join(F.broadcast(n_cand))
+        .withColumn("idx", draw)
+        .join(F.broadcast(vocab), "idx")
+        .where(F.col("cand") != F.col("obj"))
+        .select("subj", "pred", "obj", F.col("cand").alias("neg_obj"))
+    )
