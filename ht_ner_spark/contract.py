@@ -2068,6 +2068,8 @@ def queries() -> dict:
         "kg_negative_sample": q_kg_negative_sample,
         "repetition_stats": q_repetition_stats,
         "decontam_overlap": q_decontam_overlap,
+        "pack_sequences": q_pack_sequences,
+        "quality_sample": q_quality_sample,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2137,6 +2139,8 @@ def oracle_sql() -> dict:
         "kg_negative_sample": _sql_kg_negative_sample(),
         "repetition_stats": SQL_REPETITION_STATS,
         "decontam_overlap": SQL_DECONTAM_OVERLAP,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "quality_sample": SQL_QUALITY_SAMPLE,
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -2778,4 +2782,84 @@ JOIN vocab v ON v.idx =
   ('0x' || substr(md5(t.subj || ':' || t.pred || ':' || t.obj), 1, 8))::BIGINT
     % n.n_cand + 1
 WHERE v.cand <> t.obj
+"""
+
+
+# ===========================================================================
+# 63-64. Training-mix assembly: GPT-style sequence packing metadata and
+# quality-weighted deterministic sampling (operators/packing.py).
+
+def q_pack_sequences(spark, sf_dir):
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+SQL_PACK_SEQUENCES = """
+WITH base AS (
+  SELECT doc_id, doc_id % 8 AS shard, text,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, shard,
+         CAST(list_sum(list_transform(words,
+                w -> 1 + CAST(floor(greatest(length(w) - 1, 0) / 6) AS INT)))
+              + len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_tokens
+  FROM base
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum_after
+  FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(shard AS INT) AS shard,
+       n_tokens,
+       CAST(floor((cum_after - n_tokens) / 256.0) AS BIGINT) AS seq_id,
+       CAST((cum_after - n_tokens) % 256 AS BIGINT) AS offset
+FROM cum
+"""
+
+
+def q_quality_sample(spark, sf_dir):
+    from .operators.packing import quality_sample
+
+    return quality_sample(_docs(spark, sf_dir))
+
+
+SQL_QUALITY_SAMPLE = f"""
+WITH base AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(CAST(n_chars AS DOUBLE) / greatest(len(toks), 1), 4) AS avg_token_len,
+         round(CAST(len(list_filter(toks, t -> t IN ({_sql_in_list(STOPWORDS)}))) AS DOUBLE)
+               / greatest(len(toks), 1), 4) AS stopword_ratio,
+         round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+               / greatest(n_chars, 1), 4) AS punct_ratio
+  FROM base
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens < 5 THEN 0.0
+              WHEN punct_ratio > 0.3 THEN 0.2
+              ELSE round(least(stopword_ratio * 2, 1.0) * 0.5
+                         + CASE WHEN avg_token_len >= 3 AND avg_token_len <= 12
+                                THEN 0.5 ELSE 0.2 END, 4)
+         END AS quality_score
+  FROM q
+),
+d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, quality_score,
+         round(0.25 + 0.75 * quality_score, 6) AS keep_prob,
+         round(('0x' || substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0, 10) AS draw
+  FROM s
+)
+SELECT doc_id, quality_score, keep_prob, draw FROM d WHERE draw < keep_prob
 """

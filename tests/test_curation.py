@@ -80,3 +80,47 @@ def test_negative_sample_planted(spark):
     # deterministic: a second run returns the identical set
     again = negative_sample(triples).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_planted(spark):
+    from ht_ner_spark.operators.packing import pack_sequences
+
+    # one shard (n_shards=1), budget 10: docs of 4/8/3 tokens ->
+    # starts 0, 4, 12 -> seqs 0, 0, 1; offsets 0, 4, 2
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "e f g h i j k l"), (2, "m n o")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           pack_sequences(docs, budget=10, n_shards=1).collect()}
+    assert (out[0]["seq_id"], out[0]["offset"]) == (0, 0)
+    assert (out[1]["seq_id"], out[1]["offset"]) == (0, 4)  # straddles into 1
+    assert (out[2]["seq_id"], out[2]["offset"]) == (1, 2)
+    assert out[1]["n_tokens"] == 8
+
+    # shards isolate cumsums: same docs over 2 shards restart at 0
+    two = {r["doc_id"]: r for r in
+           pack_sequences(docs, budget=10, n_shards=2).collect()}
+    assert two[0]["shard"] != two[1]["shard"]
+    assert two[1]["offset"] == 0                 # first doc of its shard
+
+
+def test_quality_sample_deterministic(spark):
+    from ht_ner_spark.operators.packing import quality_sample
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again") for i in range(50)]
+        + [(100 + i, "!!!! #### $$$$ %%%%") for i in range(10)],   # junk docs
+        "doc_id long, text string",
+    )
+    out = quality_sample(docs).collect()
+    again = quality_sample(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    kept = {r["doc_id"] for r in out}
+    # identical text -> identical keep_prob; draws differ by doc_id: the
+    # good docs are mostly kept, junk docs mostly dropped (floor 0.25+)
+    good_rate = len([d for d in kept if d < 100]) / 50
+    junk_rate = len([d for d in kept if d >= 100]) / 10
+    assert good_rate > junk_rate
+    for r in out:
+        assert r["draw"] < r["keep_prob"]
