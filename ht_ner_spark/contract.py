@@ -2070,6 +2070,8 @@ def queries() -> dict:
         "decontam_overlap": q_decontam_overlap,
         "pack_sequences": q_pack_sequences,
         "quality_sample": q_quality_sample,
+        "lf_agreement": q_lf_agreement,
+        "source_profile": q_source_profile,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2141,6 +2143,8 @@ def oracle_sql() -> dict:
         "decontam_overlap": SQL_DECONTAM_OVERLAP,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "quality_sample": SQL_QUALITY_SAMPLE,
+        "lf_agreement": _sql_lf_agreement(),
+        "source_profile": SQL_SOURCE_PROFILE,
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -2862,4 +2866,103 @@ d AS (
   FROM s
 )
 SELECT doc_id, quality_score, keep_prob, draw FROM d WHERE draw < keep_prob
+"""
+
+
+# ===========================================================================
+# 65-66. LF agreement (Cohen's kappa between the dictionary LF and the
+# frequency antirule) and the per-source corpus curation profile.
+
+KAPPA_FREQ_T = 40  # LF B: "rare enough to be a name" frequency threshold
+
+
+def q_lf_agreement(spark, sf_dir):
+    from .operators.metrics import cohens_kappa
+
+    tv = _tview(spark, sf_dir)
+    lt = F.lower(F.col("tok"))
+    freq = tv.groupBy(lt.alias("w")).agg(F.count(F.lit(1)).alias("cnt"))
+    lab = (
+        tv.select(lt.alias("w"))
+        .join(F.broadcast(freq), "w")
+        .select(
+            F.col("w").isin(*sorted(GAZ_SINGLE)).alias("a"),
+            (F.col("cnt") <= KAPPA_FREQ_T).alias("b"),
+        )
+    )
+    return cohens_kappa(lab, "a", "b")
+
+
+def _sql_lf_agreement() -> str:
+    return f"""
+WITH {_SQL_TOKS},
+freq AS (SELECT lower(tok) AS w, count(*) AS cnt FROM toks GROUP BY 1),
+lab AS (
+  SELECT lower(t.tok) IN ({_sql_in_list(sorted(GAZ_SINGLE))}) AS a,
+         f.cnt <= {KAPPA_FREQ_T} AS b
+  FROM toks t JOIN freq f ON lower(t.tok) = f.w
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a_pos,
+         CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_pos,
+         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS both_pos
+  FROM lab
+),
+d AS (
+  SELECT n, a_pos, b_pos, both_pos,
+         (both_pos + (n - a_pos - b_pos + both_pos)) / CAST(n AS DOUBLE) AS po,
+         (CAST(a_pos AS DOUBLE) * CAST(b_pos AS DOUBLE)
+          + (CAST(n AS DOUBLE) - a_pos) * (CAST(n AS DOUBLE) - b_pos))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+  FROM c
+)
+SELECT n, a_pos, b_pos, both_pos,
+       round(po, 6) AS po, round(pe, 6) AS pe,
+       round((po - pe) / (1 - pe), 6) AS kappa
+FROM d
+"""
+
+
+def q_source_profile(spark, sf_dir):
+    from .operators.textstats import source_profile
+
+    return source_profile(_docs(spark, sf_dir))
+
+
+SQL_SOURCE_PROFILE = f"""
+WITH base AS (
+  SELECT doc_id, source, lang, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents
+),
+q AS (
+  SELECT source, lang, md5(text) AS content_md5,
+         len(toks) AS n_tokens,
+         round(CAST(n_chars AS DOUBLE) / greatest(len(toks), 1), 4) AS avg_token_len,
+         round(CAST(len(list_filter(toks, t -> t IN ({_sql_in_list(STOPWORDS)}))) AS DOUBLE)
+               / greatest(len(toks), 1), 4) AS stopword_ratio,
+         round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+               / greatest(n_chars, 1), 4) AS punct_ratio
+  FROM base
+),
+s AS (
+  SELECT source, lang, content_md5, n_tokens,
+         CASE WHEN n_tokens < 5 THEN 0.0
+              WHEN punct_ratio > 0.3 THEN 0.2
+              ELSE round(least(stopword_ratio * 2, 1.0) * 0.5
+                         + CASE WHEN avg_token_len >= 3 AND avg_token_len <= 12
+                                THEN 0.5 ELSE 0.2 END, 4)
+         END AS quality_score
+  FROM q
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) - count(DISTINCT content_md5) AS BIGINT) AS n_dup_docs,
+       round(sum(CAST(round(quality_score * 10000) AS BIGINT))
+             / (count(*) * 10000.0), 6) AS avg_quality
+FROM s GROUP BY source
 """

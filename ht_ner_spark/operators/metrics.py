@@ -167,3 +167,43 @@ def ad_level_counts(df: DataFrame, truth_col: str, pred_col: str,
         fp.cast("long").alias("fp"),
         fn.cast("long").alias("fn"),
     )
+
+
+def cohens_kappa(df, a_col: str, b_col: str):
+    """ONE-row inter-labeler agreement between two boolean label columns:
+    (n, a_pos, b_pos, both_pos, po, pe, kappa) — Cohen's kappa, the standard
+    weak-supervision diagnostic for whether two labeling functions agree
+    beyond chance (Snorkel-style LF analysis; the reference eyeballs its LF
+    overlap via the votes matrix, src/neat_aggregation.py — this is the
+    quantified version).
+
+    100 TB shape: a single full-scan aggregation (4 conditional counts,
+    map-side combined into one partial row per partition); po/pe/kappa are
+    derived driver-free from the INTEGER counts, so the floats are
+    order-of-summation-proof by construction — every engine divides the
+    same two integers."""
+    from pyspark.sql import functions as F
+
+    a, b = F.col(a_col), F.col(b_col)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a.cast("long")).alias("a_pos"),
+        F.sum(b.cast("long")).alias("b_pos"),
+        F.sum((a & b).cast("long")).alias("both_pos"),
+    )
+    n = F.col("n").cast("double")
+    tn = F.col("n") - F.col("a_pos") - F.col("b_pos") + F.col("both_pos")
+    po = (F.col("both_pos") + tn) / n
+    # products as doubles BEFORE multiplying: long*long overflows at
+    # ~3e9 tokens per side — real corpus scale, not a corner case
+    a_d, b_d = F.col("a_pos").cast("double"), F.col("b_pos").cast("double")
+    pe = (a_d * b_d + (n - a_d) * (n - b_d)) / (n * n)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("a_pos").cast("long").alias("a_pos"),
+        F.col("b_pos").cast("long").alias("b_pos"),
+        F.col("both_pos").cast("long").alias("both_pos"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )

@@ -39,10 +39,13 @@ def bpe_token_estimate(col: Column) -> Column:
 
 
 def quality_stats(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  keep: dict[str, Column] | None = None) -> DataFrame:
     """(doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
     upper_ratio, digit_ratio, quality_score) — the usual corpus-quality
-    heuristics (length/punct/stopword ratios)."""
+    heuristics (length/punct/stopword ratios). ``keep`` carries extra
+    named columns through (so callers like source_profile stay one-pass
+    instead of joining back on doc_id)."""
     c = F.col(text_col)
     toks = F.split(F.lower(F.trim(c)), r"\s+")
     n_toks = F.size(toks)
@@ -53,6 +56,7 @@ def quality_stats(df: DataFrame, text_col: str = "text",
     uppers = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
     out = df.select(
         F.col(id_col).alias("doc_id"),
+        *[v.alias(k) for k, v in (keep or {}).items()],
         n_chars.cast("long").alias("n_chars"),
         n_toks.cast("long").alias("n_tokens"),
         F.round(n_chars / F.greatest(n_toks, F.lit(1)), 4).alias("avg_token_len"),
@@ -341,4 +345,39 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 4,
             F.round(F.col("shared_grams").cast("double") / F.col("total_grams"), 4)
             .alias("contamination"),
         )
+    )
+
+
+def source_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", source_col: str = "source",
+                   lang_col: str = "lang") -> DataFrame:
+    """(source, n_docs, n_langs, total_tokens, n_dup_docs, avg_quality):
+    per-source curation dashboard — the per-domain view a web-pipeline
+    operator reads before deciding crawl weights (docs, language spread,
+    token volume, exact-dup rate, mean quality).
+
+    100 TB shape: ONE corpus scan (quality heuristics + content md5 computed
+    row-side via quality_stats(keep=...) — no doc_id join-back), then one
+    source-keyed aggregation; countDistinct expands to the standard two-phase
+    plan. avg_quality is integer-exact: per-doc scores (a 1e-4 grid) are
+    scaled to longs BEFORE summing, so the mean is a ratio of two integers —
+    order-of-summation-proof across engines, the repo's float convention."""
+    qs = quality_stats(
+        df, text_col=text_col, id_col=id_col,
+        keep={
+            "source": F.col(source_col),
+            "lang": F.col(lang_col),
+            "content_md5": F.md5(F.col(text_col)),
+        },
+    )
+    n = F.count(F.lit(1))
+    return qs.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (n - F.countDistinct("content_md5")).cast("long").alias("n_dup_docs"),
+        F.round(
+            F.sum(F.round(F.col("quality_score") * 10000).cast("long"))
+            / (n * F.lit(10000.0)), 6
+        ).alias("avg_quality"),
     )

@@ -124,3 +124,20 @@ def test_quality_sample_deterministic(spark):
     assert good_rate > junk_rate
     for r in out:
         assert r["draw"] < r["keep_prob"]
+
+
+def test_cohens_kappa_planted(spark):
+    from ht_ner_spark.operators.metrics import cohens_kappa
+
+    # perfect agreement -> kappa 1.0
+    rows = [(True, True)] * 30 + [(False, False)] * 70
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["kappa"] == 1.0 and r["po"] == 1.0
+
+    # exact independence (2x2 margins 50/50): po == pe -> kappa 0.0
+    rows = ([(True, True)] * 25 + [(True, False)] * 25
+            + [(False, True)] * 25 + [(False, False)] * 25)
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["kappa"] == 0.0 and r["pe"] == 0.5
