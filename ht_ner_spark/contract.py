@@ -2072,6 +2072,7 @@ def queries() -> dict:
         "quality_sample": q_quality_sample,
         "lf_agreement": q_lf_agreement,
         "source_profile": q_source_profile,
+        "lpa_communities": q_lpa_communities,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2145,6 +2146,7 @@ def oracle_sql() -> dict:
         "quality_sample": SQL_QUALITY_SAMPLE,
         "lf_agreement": _sql_lf_agreement(),
         "source_profile": SQL_SOURCE_PROFILE,
+        "lpa_communities": _sql_lpa_communities(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -2965,4 +2967,47 @@ SELECT source,
        round(sum(CAST(round(quality_score * 10000) AS BIGINT))
              / (count(*) * 10000.0), 6) AS avg_quality
 FROM s GROUP BY source
+"""
+
+
+# ===========================================================================
+# 67. Label-propagation communities over the KG (operators/graph.py LPA) —
+# synchronous rounds + total tie-break make classic LPA deterministic; the
+# oracle unrolls the identical rounds as chained CTEs (the pagerank
+# convention).
+
+def q_lpa_communities(spark, sf_dir):
+    from .operators.graph import label_propagation
+
+    return label_propagation(q_kg_pipeline_triples(spark, sf_dir)).select(
+        "node", "community"
+    )
+
+
+def _sql_lpa_communities() -> str:
+    from .operators.graph import LPA_ITERS
+
+    rounds = []
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(f"""b{i} AS (
+  SELECT node, lab AS new_community FROM (
+    SELECT s.dst AS node, l.community AS lab, count(*) AS cnt,
+           row_number() OVER (PARTITION BY s.dst
+                              ORDER BY count(*) DESC, l.community ASC) AS rn
+    FROM sym s JOIN l{i - 1} l ON s.src = l.node
+    GROUP BY s.dst, l.community)
+  WHERE rn = 1),
+l{i} AS (
+  SELECT l.node, coalesce(b.new_community, l.community) AS community
+  FROM l{i - 1} l LEFT JOIN b{i} b ON l.node = b.node)""")
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH t AS ({_sql_kg_pipeline()}),
+e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+sym AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+l0 AS (SELECT node, node AS community FROM nodes),
+{rounds_sql}
+SELECT node, community FROM l{LPA_ITERS}
 """

@@ -143,3 +143,48 @@ def pagerank(triples: DataFrame, iters: int = PR_ITERS,
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+LPA_ITERS = 3
+
+
+def label_propagation(triples: DataFrame, iters: int = LPA_ITERS,
+                      checkpoint_every: int = 8) -> DataFrame:
+    """(node, community) after ``iters`` SYNCHRONOUS label-propagation
+    rounds over the undirected subj—obj edge set: every node adopts the
+    most frequent label among its neighbors, ties broken label ASC, isolated
+    nodes (none here, but totality matters) keep their own. Deterministic by
+    construction — synchronous rounds + a total tie-break — unlike classic
+    async LPA (Raghavan et al. 2007), so the contract oracle unrolls the
+    identical rounds as chained SQL CTEs. Complements connected components
+    (structure) and PageRank (centrality) with community structure.
+
+    100 TB shape: per round, one edge⋈labels broadcast-or-shuffle hash join
+    keyed on node and one (node, label) partial-agg shuffle; the argmax is
+    min(struct(-cnt, label)) — no per-node window, no global state. The
+    symmetrized edge list is loop-invariant and localCheckpoint'd once."""
+    e = triples.select(F.col("subj").alias("src"),
+                       F.col("obj").alias("dst")).distinct()
+    sym = (e.unionAll(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct()
+           .localCheckpoint())
+    nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    labels = nodes.withColumn("community", F.col("node"))
+    for i in range(iters):
+        best = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("community"))
+            .groupBy("node", "community").agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("node")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                                F.col("community").alias("lab"))).alias("top"))
+            .select("node", F.col("top.lab").alias("new_community"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_community", "community")
+                    .alias("community"))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint()
+    return labels

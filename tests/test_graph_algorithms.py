@@ -81,3 +81,21 @@ def test_pagerank_matches_local_iterations(spark, triples):
     assert indeg0 and all(got[n] == pytest.approx(1.0 - PR_DAMPING)
                           for n in indeg0)
     assert min(got.values()) >= (1.0 - PR_DAMPING) - 1e-12
+
+
+def test_label_propagation_invariants(spark):
+    from ht_ner_spark.operators.graph import label_propagation
+
+    # two disjoint triangles: labels must never cross components
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"),
+         ("x", "p", "y"), ("y", "p", "z"), ("z", "p", "x")],
+        "subj string, pred string, obj string",
+    )
+    out = {r["node"]: r["community"] for r in label_propagation(triples).collect()}
+    assert set(out) == {"a", "b", "c", "x", "y", "z"}       # total
+    left, right = {"a", "b", "c"}, {"x", "y", "z"}
+    assert all(out[n] in left for n in left)                # no cross-component
+    assert all(out[n] in right for n in right)
+    again = {r["node"]: r["community"] for r in label_propagation(triples).collect()}
+    assert out == again                                     # deterministic
