@@ -2073,6 +2073,7 @@ def queries() -> dict:
         "lf_agreement": q_lf_agreement,
         "source_profile": q_source_profile,
         "lpa_communities": q_lpa_communities,
+        "train_bpe": q_train_bpe,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2147,6 +2148,7 @@ def oracle_sql() -> dict:
         "lf_agreement": _sql_lf_agreement(),
         "source_profile": SQL_SOURCE_PROFILE,
         "lpa_communities": _sql_lpa_communities(),
+        "train_bpe": _sql_train_bpe(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -3010,4 +3012,56 @@ nodes AS (SELECT DISTINCT src AS node FROM sym),
 l0 AS (SELECT node, node AS community FROM nodes),
 {rounds_sql}
 SELECT node, community FROM l{LPA_ITERS}
+"""
+
+
+# ===========================================================================
+# 68. BPE vocabulary induction (operators/bpe.py) — tokenizer training over
+# the word-frequency dictionary; the oracle replays the identical merge
+# rounds in DuckDB with the doubled-space replace() trick (plain string
+# replace is leftmost non-overlapping — exactly the Spark-side array fold).
+
+def q_train_bpe(spark, sf_dir):
+    from .operators.bpe import train_bpe
+
+    return train_bpe(_docs(spark, sf_dir))
+
+
+def _sql_train_bpe() -> str:
+    from .operators.bpe import BPE_MERGES
+
+    rounds, sel = [], []
+    for r in range(1, BPE_MERGES + 1):
+        rounds.append(f"""p{r} AS (
+  SELECT p['a'] AS a, p['b'] AS b, sum(freq) AS pair_freq FROM (
+    SELECT freq,
+           unnest([{{'a': toks[i], 'b': toks[i+1]}}
+                   FOR i IN range(1, len(toks))]) AS p
+    FROM (SELECT freq, string_split_regex(s, ' +') AS toks FROM v{r - 1}))
+  GROUP BY 1, 2),
+t{r} AS (SELECT a, b, pair_freq FROM p{r}
+         ORDER BY pair_freq DESC, a ASC, b ASC LIMIT 1),
+v{r} AS (
+  SELECT freq,
+         regexp_replace(trim(replace(' ' || replace(s, ' ', '  ') || ' ',
+                ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' ')),
+                ' +', ' ', 'g') AS s
+  FROM v{r - 1} CROSS JOIN t{r} t)""")
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, "
+            f"a || b AS merged, CAST(pair_freq AS BIGINT) AS pair_freq FROM t{r}"
+        )
+    return f"""
+WITH words AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+v0 AS (SELECT freq,
+              array_to_string([substr(word, i, 1)
+                               FOR i IN range(1, length(word) + 1)], ' ') AS s
+       FROM words),
+{",".join(rounds)}
+{" UNION ALL ".join(sel)}
 """
