@@ -2074,6 +2074,11 @@ def queries() -> dict:
         "source_profile": q_source_profile,
         "lpa_communities": q_lpa_communities,
         "train_bpe": q_train_bpe,
+        "span_dedup": q_span_dedup,
+        "pii_scrub": q_pii_scrub,
+        "temperature_mix": q_temperature_mix,
+        "semantic_dedup": q_semantic_dedup,
+        "lm_perplexity": q_lm_perplexity,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2149,6 +2154,11 @@ def oracle_sql() -> dict:
         "source_profile": SQL_SOURCE_PROFILE,
         "lpa_communities": _sql_lpa_communities(),
         "train_bpe": _sql_train_bpe(),
+        "span_dedup": SQL_SPAN_DEDUP,
+        "pii_scrub": _sql_pii_scrub(),
+        "temperature_mix": SQL_TEMPERATURE_MIX,
+        "semantic_dedup": _sql_semantic_dedup(),
+        "lm_perplexity": SQL_LM_PERPLEXITY,
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -3064,4 +3074,235 @@ v0 AS (SELECT freq,
        FROM words),
 {",".join(rounds)}
 {" UNION ALL ".join(sel)}
+"""
+
+
+# ===========================================================================
+# 69. Cross-document repeated-span profile (operators/dedup.span_dedup_stats)
+# — exact-substring dedup at shingle granularity (Lee et al. 2022). n=4 for
+# the short small-vocabulary synthetic docs (production uses ~50-token
+# spans); both engines shuffle md5 digests, never the gram strings.
+
+SPAN_DEDUP_N = 4
+
+
+def q_span_dedup(spark, sf_dir):
+    return dd.span_dedup_stats(_docs(spark, sf_dir), n=SPAN_DEDUP_N)
+
+
+SQL_SPAN_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         md5(unnest([array_to_string(toks[i:i+{SPAN_DEDUP_N - 1}], ' ')
+                     FOR i IN range(1, len(toks) - {SPAN_DEDUP_N - 2})])) AS h
+  FROM base
+),
+o AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS total_spans,
+       CAST(count(CASE WHEN first_doc < doc_id THEN 1 END) AS BIGINT)
+         AS dup_spans,
+       round(CAST(count(CASE WHEN first_doc < doc_id THEN 1 END) AS DOUBLE)
+             / count(*), 4) AS dup_frac
+FROM g JOIN o USING (h)
+GROUP BY doc_id
+"""
+
+
+# ===========================================================================
+# 70. PII scrub (operators/pii.py). The synthetic corpus carries no PII, so
+# the query derives a deterministic PII-bearing text (same convention as
+# rule_patterns' derived cased text): doc_id-keyed email/phone/IP plants,
+# identical expression on both sides. The operator itself is general.
+
+def q_pii_scrub(spark, sf_dir):
+    from .operators.pii import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@mail.example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" from 192.168."),
+                            (F.col("doc_id") % 254).cast("string"),
+                            F.lit("."),
+                            (F.col("doc_id") % 200).cast("string"))
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(planted)
+
+
+def _sql_pii_scrub() -> str:
+    from .operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 192.168.' || CAST(doc_id % 254 AS VARCHAR)
+                      || '.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END
+           AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_email,
+         regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t
+  FROM planted
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
+         regexp_replace(t, '{IPV4_RE}', '<IP>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id, n_email, n_ipv4,
+       CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phone,
+       regexp_replace(t, '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM s2
+"""
+
+
+# ===========================================================================
+# 71. Temperature-scaled multi-source mixture (operators/packing.py).
+# alpha = 0.5 (temperature 2.0) pins the weights to sqrt — exactly rounded
+# per IEEE-754 in both engines, unlike general pow.
+
+MIX_ALPHA = 0.5
+MIX_BUDGET_TOKENS = 100_000
+
+
+def q_temperature_mix(spark, sf_dir):
+    from .operators.packing import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), alpha=MIX_ALPHA,
+                           budget_tokens=MIX_BUDGET_TOKENS)
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS w_total FROM per)
+SELECT source, n_docs, n_tokens,
+       round(sqrt(CAST(n_tokens AS DOUBLE)) / w_total, 6) AS weight,
+       round({float(MIX_BUDGET_TOKENS)} * sqrt(CAST(n_tokens AS DOUBLE))
+             / w_total, 2) AS budget_share,
+       round({float(MIX_BUDGET_TOKENS)} * sqrt(CAST(n_tokens AS DOUBLE))
+             / w_total / n_tokens, 6) AS epochs
+FROM per CROSS JOIN t
+"""
+
+
+# ===========================================================================
+# 72. SemDeDup (operators/similarity.semantic_dedup) — embedding-space
+# near-duplicate pruning within coarse-quantizer cells (Abbas et al. 2023).
+# Oracle rebuilds the identical medoid cells (the IVF determinism twin) and
+# replays the within-cell lower-id sweep.
+
+SEMDEDUP_TAU = 0.35
+
+
+def q_semantic_dedup(spark, sf_dir):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = sim.seed_centroids(vecs, n_cells=IVF_CELLS)
+    return sim.semantic_dedup(vecs, cents, tau=SEMDEDUP_TAU)
+
+
+def _sql_semantic_dedup() -> str:
+    cos = (
+        "list_sum(list_transform(range(1, len({a}.embedding) + 1), "
+        "i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform({a}.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform({b}.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         embedding AS cv
+  FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= {IVF_CELLS}
+),
+csims AS (
+  SELECT v.vec_id, c.cell,
+         list_sum(list_transform(range(1, len(v.embedding) + 1),
+            i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+  FROM embeddings v CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cell FROM csims
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1
+),
+d AS (
+  SELECT a.vec_id, min(b.vec_id) AS dup_of
+  FROM asg a JOIN asg b USING (cell)
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE b.vec_id < a.vec_id
+    AND {cos.format(a="ea", b="eb")} >= {SEMDEDUP_TAU}
+  GROUP BY a.vec_id
+)
+SELECT CAST(asg.vec_id AS BIGINT) AS vec_id,
+       CAST(cell AS INT) AS cell,
+       d.dup_of IS NOT NULL AS is_dup,
+       CAST(d.dup_of AS BIGINT) AS dup_of
+FROM asg LEFT JOIN d ON d.vec_id = asg.vec_id
+"""
+
+
+# ===========================================================================
+# 73. CCNet-style LM perplexity gate (operators/textstats.lm_perplexity) —
+# per-doc perplexity under the corpus's own add-one unigram LM. Per-token
+# ln p is rounded on a 1e-6 grid and summed as longs (order-proof); the
+# 1-ulp libm ln/exp spread across engines vanishes under that grid + the
+# 4dp output rounding.
+
+def q_lm_perplexity(spark, sf_dir):
+    return ts.lm_perplexity(_docs(spark, sf_dir))
+
+
+SQL_LM_PERPLEXITY = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+lm AS (SELECT w, count(*) AS cnt FROM tok2 GROUP BY w),
+tot AS (SELECT sum(cnt) AS T, count(*) AS V FROM lm),
+per AS (
+  SELECT doc_id,
+         sum(CAST(round(ln((cnt + 1.0) / (T + V)) * 1e6) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM tok2 JOIN lm USING (w) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(-s / (n * 1e6), 4) AS avg_nll,
+       round(exp(-s / (n * 1e6)), 4) AS ppl
+FROM per
 """

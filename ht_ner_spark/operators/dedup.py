@@ -215,3 +215,45 @@ def simhash_near_dupes(fps: DataFrame, max_hamming: int = 2,
     return cand.withColumn("hamming", ham).where(
         F.col("hamming") <= max_hamming
     ).select("src", "dst", "hamming")
+
+
+def span_dedup_stats(df: DataFrame, n: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, total_spans, dup_spans, dup_frac): cross-document repeated
+    n-gram span profile — the shingle-granularity form of exact-substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data ..."): a span
+    instance is a duplicate iff the identical n-word gram occurs in ANY
+    earlier (lower-id) document. The per-doc dup fraction is the signal a
+    curation pass thresholds to drop boilerplate-heavy pages.
+
+    100 TB shape: spans are counted at ALL positions (non-distinct — a page
+    that repeats an earlier span 50× is 50 spans contaminated) but shuffled
+    as md5 DIGESTS, never as the n-word strings (16 bytes vs ~50, and the
+    corpus text never transits the wire twice). One gram-keyed agg finds
+    each span's first-owner doc, one same-key join marks instances (AQE
+    reuses the partitioning — the join adds no second shuffle of the big
+    side), one doc-keyed agg folds the counters. Docs shorter than n words
+    have no spans and drop out, keeping the output contamination-sized."""
+    from .textstats import word_ngrams
+
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("h"))
+    owners = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(owners, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_spans"),
+            F.count(F.when(F.col("first_doc") < F.col("doc_id"), 1))
+            .alias("dup_spans"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("total_spans").cast("long").alias("total_spans"),
+            F.col("dup_spans").cast("long").alias("dup_spans"),
+            F.round(F.col("dup_spans").cast("double") / F.col("total_spans"), 4)
+            .alias("dup_frac"),
+        )
+    )

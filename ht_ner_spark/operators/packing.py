@@ -91,3 +91,48 @@ def quality_sample(df: DataFrame, floor_prob: float = 0.25,
         )
         .where(F.col("draw") < F.col("keep_prob"))
     )
+
+
+def temperature_mix(df: DataFrame, alpha: float = 0.7,
+                    budget_tokens: int = 100_000, text_col: str = "text",
+                    source_col: str = "source") -> DataFrame:
+    """(source, n_docs, n_tokens, weight, budget_share, epochs): the
+    temperature-scaled multi-source mixture every multilingual/multi-domain
+    pretraining run computes (mBERT/XLM-R exponential smoothing, Pile-style
+    domain weights): source s gets sampling weight n_tokens_s^alpha
+    normalized over sources, a token share of the training budget, and the
+    implied epoch count (budget_share / n_tokens — >1 means the source is
+    repeated, the low-resource upsampling temperature mixing exists for).
+
+    100 TB shape: one corpus scan + one source-keyed agg; sources are a
+    handful of rows, so the normalizing total is a 1-row agg broadcast back
+    (crossJoin of a broadcast singleton — never a corpus-wide window). The
+    per-source aggregates are exact integers; the floats derive per-row from
+    those integers (pow/div are order-independent), the repo's cross-engine
+    float convention."""
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("long").alias("n_tokens"),
+    )
+    # alpha=0.5 routes through sqrt, which IEEE-754 requires to be exactly
+    # rounded in every engine — the deterministic/oracle twin of the general
+    # pow path (libm pow is only faithfully rounded and may differ 1 ulp
+    # across engines; same twin convention as seed_centroids vs kmeans).
+    if alpha == 0.5:
+        raw = F.sqrt(F.col("n_tokens").cast("double"))
+    else:
+        raw = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    scaled = per.withColumn("w_raw", raw)
+    total = scaled.agg(F.sum("w_raw").alias("w_total"))
+    return (
+        scaled.crossJoin(F.broadcast(total))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("w_raw") / F.col("w_total"), 6).alias("weight"),
+            F.round(F.lit(float(budget_tokens)) * F.col("w_raw")
+                    / F.col("w_total"), 2).alias("budget_share"),
+            F.round(F.lit(float(budget_tokens)) * F.col("w_raw")
+                    / F.col("w_total") / F.col("n_tokens"), 6).alias("epochs"),
+        )
+    )

@@ -253,3 +253,48 @@ def embedding_near_dupes(vectors: DataFrame, min_cosine: float = 0.95,
         )
     )
     return pairs.where(F.col("sim") >= min_cosine), dropped
+
+
+def semantic_dedup(vectors: DataFrame,
+                   centroids: list[tuple[int, list[float]]],
+                   tau: float = 0.5, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell, is_dup, dup_of): SemDeDup (Abbas et al. 2023) —
+    cluster the embedding space with a coarse quantizer, then WITHIN each
+    cluster drop every vector whose cosine to a lower-id cluster-mate is
+    >= tau (the lower id is the kept representative; dup_of = the smallest
+    such id, null for keepers). Greedy-by-id matches the paper's
+    keep-one-per-neighborhood semantics deterministically.
+
+    100 TB shape: cell assignment is the shuffle-free per-row Project of
+    _cell_sims (centroids are plan literals — the IVF path's trick), so the
+    only shuffle is the within-cell self-join; cells bound the quadratic
+    term the way the paper's k-means clustering does (k scales with corpus
+    size, cells stay ~|corpus|/k). Pass seed_centroids for the
+    deterministic/oracle twin, kmeans_centroids in production."""
+    sims = _cell_sims(F.col(vec_col).cast("array<double>"), centroids)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dup_of = (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .where(F.col("b.vec_id") < F.col("a.vec_id"))
+        .where(
+            cosine(F.col("a.vec").cast("array<double>"),
+                   F.col("b.vec").cast("array<double>")) >= tau
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("b.vec_id")).alias("dup_of"))
+    )
+    return (
+        v.join(dup_of, "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "cell",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            F.col("dup_of").cast("long").alias("dup_of"),
+        )
+    )

@@ -348,6 +348,51 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 4,
     )
 
 
+def lm_perplexity(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, avg_nll, ppl): per-document perplexity under an
+    add-one-smoothed unigram LM fit on the corpus itself — the CCNet-style
+    LM quality gate (CCNet buckets docs by LM perplexity; Wenzek et al.
+    2020). A production deploy swaps the unigram scorer for a KenLM binary
+    inside mapInPandas with no change to the surrounding plan; the unigram
+    twin keeps the whole pass relational and cross-engine checkable.
+
+    100 TB shape: fit = ONE token-keyed agg (the LM is |vocab| rows, not
+    |corpus|); score = explode + same-key join (AQE reuses the agg's
+    partitioning) + doc-keyed agg; totals ride a 1-row broadcast. Float
+    discipline: each token's ln p is rounded on a 1e-6 grid and summed as
+    LONGS, so the doc sum is order-of-summation-proof; avg_nll/ppl derive
+    from that integer."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    lm = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = lm.agg(F.sum("cnt").alias("T"), F.count(F.lit(1)).alias("V"))
+    scored = (
+        toks.join(lm, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("cnt") + 1.0) / (F.col("T") + F.col("V"))) * 1e6
+            ).cast("long").alias("l6"),
+        )
+    )
+    n = F.count(F.lit(1))
+    avg_nll = -F.col("s") / (F.col("n") * F.lit(1e6))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("l6").alias("s"), n.alias("n"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n").cast("long").alias("n_tokens"),
+            F.round(avg_nll, 4).alias("avg_nll"),
+            F.round(F.exp(avg_nll), 4).alias("ppl"),
+        )
+    )
+
+
 def source_profile(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", source_col: str = "source",
                    lang_col: str = "lang") -> DataFrame:

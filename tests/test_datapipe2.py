@@ -1,0 +1,125 @@
+"""Planted-fixture semantics for the round-3 curation additions:
+span-level exact-substring dedup, PII scrub, temperature mixing, SemDeDup.
+(The contract test cross-checks each against its DuckDB oracle at sf0.01;
+these pin the operator semantics by hand on tiny planted inputs.)"""
+
+from pyspark.sql import functions as F
+
+from ht_ner_spark.operators.dedup import span_dedup_stats
+from ht_ner_spark.operators.packing import temperature_mix
+from ht_ner_spark.operators.pii import pii_scrub
+from ht_ner_spark.operators.similarity import seed_centroids, semantic_dedup
+
+
+def test_span_dedup_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),          # 2 4-grams, both first occurrences
+            (1, "a b c d x"),          # 'a b c d' duplicates doc 0
+            (2, "a b c d e"),          # both spans duplicate doc 0
+            (3, "q r s"),              # < 4 tokens: no spans, absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup_stats(docs, n=4).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0]["total_spans"], out[0]["dup_spans"]) == (2, 0)
+    assert (out[1]["total_spans"], out[1]["dup_spans"]) == (2, 1)
+    assert (out[2]["total_spans"], out[2]["dup_spans"]) == (2, 2)
+    assert out[2]["dup_frac"] == 1.0
+
+
+def test_span_dedup_counts_instances_not_distinct(spark):
+    # a doc that repeats an earlier doc's span 3x contributes 3 dup spans
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d a b c d a b c d")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup_stats(docs, n=4).collect()}
+    assert out[1]["total_spans"] == 9
+    # every 4-gram of doc 1 is built from the doc-0 alphabet; the ones equal
+    # to 'a b c d' (positions 0,4,8) plus rotations never seen in doc 0
+    assert out[1]["dup_spans"] == 3
+
+
+def test_pii_scrub_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at jo.doe+x@sub.example.org today"),
+            (1, "server 10.0.255.7 and backup 192.168.1.300"),
+            (2, "call 555-867-5309 or 123-456-7890 x99"),
+            (3, "clean text with no pii at all"),
+            (4, "mixed a@b.io at 1.2.3.4 call 999-888-7777"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (1, 0, 0)
+    assert "<EMAIL>" in out[0]["clean_text"]
+    assert "jo.doe" not in out[0]["clean_text"]
+    # 192.168.1.300: trailing octet '300' still matches \d{1,3} on '300'?
+    # no — 300 is three digits, \d{1,3} matches it; both engines agree.
+    assert out[1]["n_ipv4"] == 2
+    assert (out[2]["n_phone"], out[2]["n_email"]) == (2, 0)
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
+    assert out[3]["clean_text"] == "clean text with no pii at all"
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (1, 1, 1)
+    assert out[4]["clean_text"] == "mixed <EMAIL> at <IP> call <PHONE>"
+
+
+def test_temperature_mix_flattens(spark):
+    # temperature sampling must UPWEIGHT the small source relative to its
+    # token share: 10000 vs 100 tokens -> raw share 0.99, sqrt share ~0.909
+    docs = spark.createDataFrame(
+        [(i, "w " * 100, "big") for i in range(100)]
+        + [(1000, "w " * 100, "small")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in
+           temperature_mix(docs, alpha=0.5, budget_tokens=1000).collect()}
+    big, small = out["big"], out["small"]
+    raw_share = big["n_tokens"] / (big["n_tokens"] + small["n_tokens"])
+    assert big["weight"] < raw_share
+    assert abs(big["weight"] + small["weight"] - 1.0) < 1e-6
+    # epochs = budget_share / n_tokens: the small source gets repeated more
+    assert small["epochs"] > big["epochs"]
+
+
+def test_lm_perplexity_planted(spark):
+    import math
+
+    from ht_ner_spark.operators.textstats import lm_perplexity
+
+    # corpus: 'a' x3, 'b' x1 -> T=4, V=2; p(a)=(3+1)/6, p(b)=(1+1)/6
+    docs = spark.createDataFrame(
+        [(0, "a a a"), (1, "b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity(docs).collect()}
+    nll_a, nll_b = -math.log(4 / 6), -math.log(2 / 6)
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 1
+    assert abs(out[0]["avg_nll"] - nll_a) < 1e-3
+    assert abs(out[1]["avg_nll"] - nll_b) < 1e-3
+    # rarer doc must score HIGHER perplexity (the CCNet gate's direction)
+    assert out[1]["ppl"] > out[0]["ppl"]
+    assert abs(out[0]["ppl"] - math.exp(nll_a)) < 1e-2
+
+
+def test_semantic_dedup_planted(spark):
+    # 2 medoid cells (vec_id 0 and 1). Vectors 2,3 near vector 0's cell:
+    # 2 is a near-dup of 0 (cos=1), 3 is orthogonal to both.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),     # same direction as 0 -> dup_of 0
+        (3, [0.9, 0.0, 0.1, 0.0]),     # cell 0, cos(3,0)=0.994 -> dup
+        (4, [0.0, 3.0, 0.0, 0.0]),     # cell 1, dup of 1
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = seed_centroids(vecs, n_cells=2)
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(vecs, cents, tau=0.95).collect()}
+    assert not out[0]["is_dup"] and not out[1]["is_dup"]
+    assert out[2]["is_dup"] and out[2]["dup_of"] == 0
+    assert out[3]["is_dup"] and out[3]["dup_of"] == 0
+    assert out[4]["is_dup"] and out[4]["dup_of"] == 1
+    assert out[2]["cell"] == 0 and out[4]["cell"] == 1
