@@ -2079,6 +2079,8 @@ def queries() -> dict:
         "temperature_mix": q_temperature_mix,
         "semantic_dedup": q_semantic_dedup,
         "lm_perplexity": q_lm_perplexity,
+        "bpe_encode": q_bpe_encode,
+        "kg_khop": q_kg_khop,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2159,6 +2161,8 @@ def oracle_sql() -> dict:
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "semantic_dedup": _sql_semantic_dedup(),
         "lm_perplexity": SQL_LM_PERPLEXITY,
+        "bpe_encode": _sql_bpe_encode(),
+        "kg_khop": _sql_kg_khop(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -3037,10 +3041,13 @@ def q_train_bpe(spark, sf_dir):
     return train_bpe(_docs(spark, sf_dir))
 
 
-def _sql_train_bpe() -> str:
+def _bpe_rounds_sql() -> str:
+    """Shared WITH-prefix: word-frequency dictionary + BPE_MERGES rounds of
+    (pair-count, winner, vocab-rewrite) CTEs. v{r} carries `word` through so
+    the encode oracle can map word -> final symbols; t{r} are the winners."""
     from .operators.bpe import BPE_MERGES
 
-    rounds, sel = [], []
+    rounds = []
     for r in range(1, BPE_MERGES + 1):
         rounds.append(f"""p{r} AS (
   SELECT p['a'] AS a, p['b'] AS b, sum(freq) AS pair_freq FROM (
@@ -3052,27 +3059,34 @@ def _sql_train_bpe() -> str:
 t{r} AS (SELECT a, b, pair_freq FROM p{r}
          ORDER BY pair_freq DESC, a ASC, b ASC LIMIT 1),
 v{r} AS (
-  SELECT freq,
+  SELECT word, freq,
          regexp_replace(trim(replace(' ' || replace(s, ' ', '  ') || ' ',
                 ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' ')),
                 ' +', ' ', 'g') AS s
   FROM v{r - 1} CROSS JOIN t{r} t)""")
-        sel.append(
-            f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, "
-            f"a || b AS merged, CAST(pair_freq AS BIGINT) AS pair_freq FROM t{r}"
-        )
-    return f"""
-WITH words AS (
+    return f"""words AS (
   SELECT word, count(*) AS freq FROM (
     SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
     FROM documents)
   WHERE word <> '' GROUP BY word
 ),
-v0 AS (SELECT freq,
+v0 AS (SELECT word, freq,
               array_to_string([substr(word, i, 1)
                                FOR i IN range(1, length(word) + 1)], ' ') AS s
        FROM words),
-{",".join(rounds)}
+{",".join(rounds)}"""
+
+
+def _sql_train_bpe() -> str:
+    from .operators.bpe import BPE_MERGES
+
+    sel = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, "
+        f"a || b AS merged, CAST(pair_freq AS BIGINT) AS pair_freq FROM t{r}"
+        for r in range(1, BPE_MERGES + 1)
+    ]
+    return f"""
+WITH {_bpe_rounds_sql()}
 {" UNION ALL ".join(sel)}
 """
 
@@ -3305,4 +3319,76 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        round(-s / (n * 1e6), 4) AS avg_nll,
        round(exp(-s / (n * 1e6)), 4) AS ppl
 FROM per
+"""
+
+
+# ===========================================================================
+# 74. BPE encode (operators/bpe.bpe_encode) — the inference half of
+# train_bpe: learn the merge table at this SF, then tokenize the corpus
+# with it. The merge folds run over the distinct-word vocab, the corpus
+# pays one dictionary join; the oracle replays training AND encoding with
+# the shared rounds CTE (v{r} carries word -> symbols).
+
+def q_bpe_encode(spark, sf_dir):
+    from .operators.bpe import bpe_encode, train_bpe
+
+    d = _docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in train_bpe(d).orderBy("merge_rank").collect()
+    ]
+    return bpe_encode(d, merges)
+
+
+def _sql_bpe_encode() -> str:
+    from .operators.bpe import BPE_MERGES
+
+    return f"""
+WITH {_bpe_rounds_sql()},
+enc AS (SELECT word, len(string_split(s, ' ')) AS n_bpe FROM v{BPE_MERGES}),
+w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+w2 AS (SELECT doc_id, word FROM w WHERE word <> '')
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+FROM w2 JOIN enc USING (word)
+GROUP BY doc_id
+"""
+
+
+# ===========================================================================
+# 75. KG k-hop neighborhood (operators/graph.khop_neighborhood) — the
+# context-retrieval primitive over the materialized KG (RAG subgraph
+# extraction): BFS distance <= 2 from a seed entity, undirected. The oracle
+# unrolls the two hop rounds as chained CTEs over the same derived KG.
+
+KHOP_SEEDS = ["spark"]
+
+
+def q_kg_khop(spark, sf_dir):
+    from .operators.graph import khop_neighborhood
+
+    return khop_neighborhood(q_kg_pipeline_triples(spark, sf_dir), KHOP_SEEDS)
+
+
+def _sql_kg_khop() -> str:
+    seeds = ", ".join(f"('{s}')" for s in KHOP_SEEDS)
+    return f"""
+WITH t AS ({_sql_kg_pipeline()}),
+e AS (
+  SELECT subj AS src, obj AS dst FROM t
+  UNION
+  SELECT obj AS src, subj AS dst FROM t
+),
+d0 AS (SELECT node, 0 AS dist FROM (VALUES {seeds}) s(node)),
+d1 AS (SELECT DISTINCT e.dst AS node, 1 AS dist
+       FROM e JOIN d0 ON e.src = d0.node),
+d2 AS (SELECT DISTINCT e.dst AS node, 2 AS dist
+       FROM e JOIN d1 ON e.src = d1.node)
+SELECT node, CAST(min(dist) AS INT) AS dist
+FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+GROUP BY node
 """

@@ -102,3 +102,39 @@ def train_bpe(df: DataFrame, merges: int = BPE_MERGES,
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): tokenize the corpus with a learned
+    BPE merge table (the inference half of train_bpe; ``merges`` is the
+    ordered [(lhs, rhs), ...] list, driver-side — merge tables are KBs).
+
+    100 TB shape: the merge folds run over the DISTINCT-WORD VOCAB, never
+    the corpus — encode the vocab once into (word, n_bpe) and join the
+    exploded corpus words against it (one word-keyed shuffle that AQE
+    broadcasts when the vocab is small); per-doc counts fold out of one
+    doc-keyed agg. This is how production BPE application works too: the
+    tokenizer memoizes per word, the corpus pays a dictionary lookup."""
+    words = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    syms = F.split(F.col("word"), "(?!^)(?=.)")
+    for a, b in merges:
+        syms = _merge_adjacent(syms, F.lit(a), F.lit(b))
+    vocab = words.select("word").distinct().select(
+        "word", F.size(syms).alias("n_bpe")
+    )
+    return (
+        words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("n_bpe").alias("n_bpe"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_bpe").cast("long").alias("n_bpe_tokens"),
+        )
+    )

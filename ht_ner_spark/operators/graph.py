@@ -188,3 +188,47 @@ def label_propagation(triples: DataFrame, iters: int = LPA_ITERS,
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             labels = labels.localCheckpoint()
     return labels
+
+
+KHOP_HOPS = 2
+
+
+def khop_neighborhood(triples: DataFrame, seeds: list[str],
+                      hops: int = KHOP_HOPS,
+                      broadcast_frontier: bool = True) -> DataFrame:
+    """(node, dist): the <= ``hops``-hop undirected neighborhood of a seed
+    entity set over the KG — the context-retrieval primitive a KG consumer
+    runs per query entity (RAG subgraph extraction, entity cards). dist =
+    minimum hop count, BFS expanded as ``hops`` fixed rounds.
+
+    100 TB shape: the frontier is joined against the symmetrized edge list
+    once per hop (frontier side is neighborhood-sized — broadcast in
+    practice; the edge side never moves twice thanks to the loop-invariant
+    localCheckpoint), and the final min-dist fold is one node-keyed agg.
+    No windows, no driver-side traversal; seeds ship as a plan literal.
+    broadcast_frontier=False switches to a src-keyed shuffle join for the
+    hub-explosion case where a frontier outgrows executor memory."""
+    e = triples.select(F.col("subj").alias("src"),
+                       F.col("obj").alias("dst")).distinct()
+    sym = (e.unionAll(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct()
+           .localCheckpoint())
+    seed_df = sym.sparkSession.createDataFrame(
+        [(s, 0) for s in seeds], "node string, dist int"
+    )
+    layers = [seed_df]
+    frontier = seed_df.select("node")
+    for h in range(1, hops + 1):
+        f = F.broadcast(frontier) if broadcast_frontier else frontier
+        frontier = (
+            sym.join(f, sym.src == F.col("node"))
+            .select(F.col("dst").alias("node")).distinct()
+        ).localCheckpoint()
+        layers.append(frontier.withColumn("dist", F.lit(h)))
+    out = layers[0]
+    for l in layers[1:]:
+        out = out.unionByName(l)
+    return (
+        out.groupBy("node").agg(F.min("dist").alias("dist"))
+        .select("node", F.col("dist").cast("int").alias("dist"))
+    )

@@ -38,3 +38,18 @@ def test_train_bpe_planted(spark):
     # tie-break lhs ASC: 'an' < 'b' -> ('an','a') wins
     assert (out[2]["lhs"], out[2]["rhs"], out[2]["merged"]) == ("an", "a", "ana")
     assert out[2]["pair_freq"] == 4
+
+
+def test_bpe_encode_planted(spark):
+    from ht_ner_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "banana banana"), (1, "bandana nab")], "doc_id long, text string"
+    )
+    # merges learned elsewhere: (a,n) then (an,a)
+    out = {r["doc_id"]: r for r in
+           bpe_encode(docs, [("a", "n"), ("an", "a")]).collect()}
+    # banana -> [b,an,an,a] -> [b,an,ana] = 3 tokens each, 2 words
+    assert (out[0]["n_words"], out[0]["n_bpe_tokens"]) == (2, 6)
+    # bandana -> [b,an,d,an,a] -> [b,an,d,ana] = 4; nab -> [n,a,b] (no 'an')
+    assert (out[1]["n_words"], out[1]["n_bpe_tokens"]) == (2, 7)

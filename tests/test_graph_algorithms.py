@@ -99,3 +99,21 @@ def test_label_propagation_invariants(spark):
     assert all(out[n] in right for n in right)
     again = {r["node"]: r["community"] for r in label_propagation(triples).collect()}
     assert out == again                                     # deterministic
+
+
+def test_khop_neighborhood_planted(spark):
+    from ht_ner_spark.operators.graph import khop_neighborhood
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"), ("x", "p", "a")],
+        "subj string, pred string, obj string",
+    )
+    out = {r["node"]: r["dist"] for r in
+           khop_neighborhood(triples, ["a"], hops=2).collect()}
+    # undirected: a->{b,x} at 1; {c} via b at 2; x's other side none; d is 3 hops
+    assert out == {"a": 0, "b": 1, "x": 1, "c": 2}
+
+    out1 = {r["node"]: r["dist"] for r in
+            khop_neighborhood(triples, ["a"], hops=2,
+                              broadcast_frontier=False).collect()}
+    assert out1 == out

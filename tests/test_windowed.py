@@ -174,3 +174,38 @@ def test_stateful_matches_session_window_batch(spark, tmp_path):
     want = {(r.user_id, r.session_start, r.session_end, r.n_events)
             for r in session_event_counts(batch, gap_s=60).collect()}
     assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate key arriving while its
+    first occurrence is still inside the watermark is dropped; once the
+    watermark passes (state expired), the key passes through again."""
+    from ht_ner_spark.streaming.windowed import stream_dedup
+
+    src, out, ck = (str(tmp_path / d) for d in ("dsrc", "dout", "dck"))
+    op = lambda s: stream_dedup(  # noqa: E731
+        s, keys=["event_type"], watermark="10 minutes")
+
+    # drain 1: 'a' twice (dup within drain -> one survives), 'b' once;
+    # max ts 00:05 -> watermark 0 (never negative): state for both live
+    _drop(spark, EV_SCHEMA, src, [("a", T(1)), ("a", T(3)), ("b", T(5))])
+    _drain(spark, EV_SCHEMA, src, op, out, ck)
+
+    # drain 2 (watermark from drain 1): 'a' again within watermark ->
+    # dropped; 'c' new -> kept; 00:50 advances the watermark to 00:40,
+    # expiring 'a'/'b'/'c' state
+    _drop(spark, EV_SCHEMA, src, [("a", T(7)), ("c", T(9)), ("c", T(50))])
+    _drain(spark, EV_SCHEMA, src, op, out, ck)
+
+    # drain 3 (watermark 00:40): 'a' reappears AFTER expiry -> emitted again
+    _drop(spark, EV_SCHEMA, src, [("a", T(45))])
+    _drain(spark, EV_SCHEMA, src, op, out, ck)
+
+    got = sorted((r.event_type, r.ts) for r in _read_out(spark, out, EV_SCHEMA))
+    emitted_a = [ts for et, ts in got if et == "a"]
+    assert len(emitted_a) == 2                  # first + post-expiry
+    assert emitted_a[0] == T(1) and emitted_a[1] == T(45)
+    assert ("b", T(5)) in got
+    # 'c' at 00:09 kept; its 00:50 twin arrived in the SAME drain while the
+    # 00:09 state was live -> deduped
+    assert len([1 for et, _ in got if et == "c"]) == 1
