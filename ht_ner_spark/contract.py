@@ -2081,6 +2081,7 @@ def queries() -> dict:
         "lm_perplexity": q_lm_perplexity,
         "bpe_encode": q_bpe_encode,
         "kg_khop": q_kg_khop,
+        "dsir_weights": q_dsir_weights,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2163,6 +2164,7 @@ def oracle_sql() -> dict:
         "lm_perplexity": SQL_LM_PERPLEXITY,
         "bpe_encode": _sql_bpe_encode(),
         "kg_khop": _sql_kg_khop(),
+        "dsir_weights": SQL_DSIR_WEIGHTS,
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -3391,4 +3393,48 @@ d2 AS (SELECT DISTINCT e.dst AS node, 2 AS dist
 SELECT node, CAST(min(dist) AS INT) AS dist
 FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2)
 GROUP BY node
+"""
+
+
+# ===========================================================================
+# 76. DSIR importance weights (operators/textstats.dsir_weights) — data
+# selection via importance resampling: target LM = the doc_id % 25 == 0
+# slice (the decontam queries' "benchmark" slice, reused as the domain
+# exemplar), source LM = the full corpus. Same 1e-6 long-grid float
+# discipline as lm_perplexity.
+
+def q_dsir_weights(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    target = d.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    return ts.dsir_weights(d, target)
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+src_lm AS (SELECT w, count(*) AS cnt_s FROM tok2 GROUP BY w),
+tgt_lm AS (SELECT w, count(*) AS cnt_t FROM tok2
+           WHERE doc_id % {DECONTAM_EVAL_MOD} = 0 GROUP BY w),
+lm AS (
+  SELECT coalesce(s.w, t.w) AS w,
+         coalesce(cnt_s, 0) AS cnt_s, coalesce(cnt_t, 0) AS cnt_t
+  FROM src_lm s FULL JOIN tgt_lm t ON s.w = t.w
+),
+tot AS (SELECT sum(cnt_s) AS Ts, sum(cnt_t) AS Tt, count(*) AS V FROM lm),
+per AS (
+  SELECT doc_id,
+         sum(CAST(round((ln((cnt_t + 1.0) / (Tt + V))
+                         - ln((cnt_s + 1.0) / (Ts + V))) * 1e6) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM tok2 JOIN lm USING (w) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(s / 1e6, 4) AS llr,
+       round(s / (n * 1e6), 4) AS avg_llr
+FROM per
 """

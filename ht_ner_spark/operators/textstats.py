@@ -393,6 +393,67 @@ def lm_perplexity(df: DataFrame, text_col: str = "text",
     )
 
 
+def dsir_weights(corpus: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, llr, avg_llr): DSIR-style importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling") — per-doc log p_target(x) - p_source(x) under two add-one
+    unigram LMs (target = the domain you want more of, source = the raw
+    corpus being scored). Resampling keeps docs ∝ exp(llr); the published
+    method uses hashed-bigram models — swap the token expression for a
+    hashed n-gram and nothing else changes.
+
+    100 TB shape: BOTH LMs are token-keyed aggs (vocab-sized); the corpus
+    explodes once and pays one dictionary join against the joined LM table
+    (source LM left-joined with target counts; unseen-in-target tokens get
+    the add-one floor); totals ride a 1-row broadcast; one doc-keyed agg.
+    Same 1e-6-grid long-sum float discipline as lm_perplexity."""
+    def toks(df):
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+            .alias("w"),
+        ).where(F.col("w") != "")
+
+    src_toks = toks(corpus)
+    src_lm = src_toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt_s"))
+    tgt_lm = toks(target).groupBy("w").agg(F.count(F.lit(1)).alias("cnt_t"))
+    # smoothing denominators share the JOINT vocab so the two LMs are
+    # comparable; V = |union of vocabularies| (here tgt ⊆ src when target is
+    # a corpus slice, but the union form is the general contract)
+    lm = src_lm.join(tgt_lm, "w", "full").select(
+        "w",
+        F.coalesce("cnt_s", F.lit(0)).alias("cnt_s"),
+        F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
+    )
+    tot = lm.agg(
+        F.sum("cnt_s").alias("Ts"), F.sum("cnt_t").alias("Tt"),
+        F.count(F.lit(1)).alias("V"),
+    )
+    scored = (
+        src_toks.join(lm, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                (F.log((F.col("cnt_t") + 1.0) / (F.col("Tt") + F.col("V")))
+                 - F.log((F.col("cnt_s") + 1.0) / (F.col("Ts") + F.col("V"))))
+                * 1e6
+            ).cast("long").alias("l6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("l6").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n").cast("long").alias("n_tokens"),
+            F.round(F.col("s") / 1e6, 4).alias("llr"),
+            F.round(F.col("s") / (F.col("n") * F.lit(1e6)), 4).alias("avg_llr"),
+        )
+    )
+
+
 def source_profile(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", source_col: str = "source",
                    lang_col: str = "lang") -> DataFrame:

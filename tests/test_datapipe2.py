@@ -123,3 +123,22 @@ def test_semantic_dedup_planted(spark):
     assert out[3]["is_dup"] and out[3]["dup_of"] == 0
     assert out[4]["is_dup"] and out[4]["dup_of"] == 1
     assert out[2]["cell"] == 0 and out[4]["cell"] == 1
+
+
+def test_dsir_weights_planted(spark):
+    import math
+
+    from ht_ner_spark.operators.textstats import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(0, "x x"), (1, "y y"), (2, "x y")], "doc_id long, text string"
+    )
+    target = docs.where("doc_id = 0")
+    out = {r["doc_id"]: r for r in dsir_weights(docs, target).collect()}
+    # target LM: x:2 (Tt=2); source LM: x:3, y:3 (Ts=6); joint V=2
+    lx = math.log((2 + 1) / (2 + 2)) - math.log((3 + 1) / (6 + 2))
+    ly = math.log((0 + 1) / (2 + 2)) - math.log((3 + 1) / (6 + 2))
+    assert abs(out[0]["llr"] - 2 * lx) < 1e-3      # target-like doc scores up
+    assert abs(out[1]["llr"] - 2 * ly) < 1e-3      # off-domain doc scores down
+    assert abs(out[2]["avg_llr"] - (lx + ly) / 2) < 1e-3
+    assert out[0]["llr"] > out[2]["llr"] > out[1]["llr"]
