@@ -2082,6 +2082,11 @@ def queries() -> dict:
         "bpe_encode": q_bpe_encode,
         "kg_khop": q_kg_khop,
         "dsir_weights": q_dsir_weights,
+        "chunk_documents": q_chunk_documents,
+        "inverted_index": q_inverted_index,
+        "adamic_adar": q_adamic_adar,
+        "quality_deciles": q_quality_deciles,
+        "boilerplate_lines": q_boilerplate_lines,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2165,6 +2170,11 @@ def oracle_sql() -> dict:
         "bpe_encode": _sql_bpe_encode(),
         "kg_khop": _sql_kg_khop(),
         "dsir_weights": SQL_DSIR_WEIGHTS,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "inverted_index": SQL_INVERTED_INDEX,
+        "adamic_adar": _sql_adamic_adar(),
+        "quality_deciles": SQL_QUALITY_DECILES,
+        "boilerplate_lines": SQL_BOILERPLATE_LINES,
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -3437,4 +3447,255 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        round(s / 1e6, 4) AS llr,
        round(s / (n * 1e6), 4) AS avg_llr
 FROM per
+"""
+
+
+# ===========================================================================
+# 77. RAG chunking (operators/indexing.chunk_documents): sliding-window
+# token chunks, hash-materialized. Entirely narrow (zero shuffles).
+
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark, sf_dir):
+    from .operators import indexing as ix
+
+    return ix.chunk_documents(
+        _docs(spark, sf_dir), chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH base AS (
+  SELECT doc_id,
+         [w FOR w IN string_split_regex(lower(trim(text)), '\\s+')
+          IF w <> ''] AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+chunks AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, n, {CHUNK_SIZE - CHUNK_OVERLAP})) AS start
+  FROM nz
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(start // {CHUNK_SIZE - CHUNK_OVERLAP} AS INT) AS chunk_id,
+       CAST(start AS INT) AS start,
+       CAST(least(start + {CHUNK_SIZE}, n) - start AS INT) AS n_tokens,
+       md5(array_to_string(toks[start + 1 : least(start + {CHUNK_SIZE}, n)],
+                           chr(31))) AS chunk_hash
+FROM chunks
+"""
+
+
+# ===========================================================================
+# 78. Inverted index (operators/indexing.inverted_index): exact df/total_tf
+# per term + capped posting list (stringified here — the driver compare is
+# over scalar cells; the operator itself returns array<long>).
+
+POSTINGS_CAP = 16
+
+
+def q_inverted_index(spark, sf_dir):
+    from .operators import indexing as ix
+
+    return ix.inverted_index(
+        _docs(spark, sf_dir), postings_cap=POSTINGS_CAP
+    ).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("total_tf").cast("long").alias("total_tf"),
+        F.concat_ws(",", F.transform(F.col("postings"),
+                                     lambda d: d.cast("string")))
+        .alias("postings"),
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+),
+agg AS (
+  SELECT term, count(*) AS df, sum(tf) AS total_tf,
+         list(CAST(doc_id AS BIGINT) ORDER BY doc_id) AS all_postings
+  FROM tf GROUP BY term
+)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(total_tf AS BIGINT) AS total_tf,
+       array_to_string(all_postings[1:{POSTINGS_CAP}], ',') AS postings
+FROM agg
+"""
+
+
+# ===========================================================================
+# 79. Adamic-Adar link prediction (operators/graph.adamic_adar): top-200
+# non-adjacent distance-2 pairs of the symmetrized KG (the full prediction
+# frame is wedge-dense — 128k pairs at sf0.01 — so the query keeps the
+# decision-sized head via the distributed exact rank, not a driver sort).
+# deg(z) >= 2 for any common neighbor, so ln(deg) never divides by zero.
+
+AA_TOP_K = 200
+
+
+def q_adamic_adar(spark, sf_dir):
+    from .operators.graph import adamic_adar
+    from .operators.rank import exact_global_rank
+
+    preds, _dropped = adamic_adar(q_kg_pipeline_triples(spark, sf_dir))
+    return (
+        exact_global_rank(
+            preds, [F.desc("aa"), F.asc("u"), F.asc("v")], "rank")
+        .where(F.col("rank") <= AA_TOP_K)
+        .select("u", "v", "common", "aa",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _sql_adamic_adar() -> str:
+    return f"""
+WITH t AS ({_sql_kg_pipeline()}),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+wedges AS (
+  SELECT a.src AS u, b.src AS v, a.dst AS z
+  FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+),
+scored AS (
+  SELECT u, v, count(*) AS common,
+         sum(CAST(round(1e6 / ln(deg)) AS BIGINT)) AS aa6
+  FROM wedges JOIN deg ON wedges.z = deg.src
+  GROUP BY u, v
+),
+existing AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM sym
+),
+preds AS (
+  SELECT s.u, s.v, CAST(s.common AS BIGINT) AS common,
+         round(s.aa6 / 1e6, 6) AS aa
+  FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM existing x WHERE x.u = s.u AND x.v = s.v)
+)
+SELECT u, v, common, aa, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY aa DESC, u, v) AS rank FROM preds
+) WHERE rank <= {AA_TOP_K}
+"""
+
+
+# ===========================================================================
+# 80. Per-source quality decile cutoffs (operators/textstats.quality_deciles):
+# the "keep top-X% of each source" threshold table. Score formula mirrors
+# quality_stats EXACTLY (computed over the ROUNDED ratio columns).
+
+def q_quality_deciles(spark, sf_dir):
+    return ts.quality_deciles(_docs(spark, sf_dir))
+
+
+SQL_QUALITY_DECILES = f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(CAST(n_chars AS DOUBLE) / greatest(len(toks), 1), 4)
+           AS avg_token_len,
+         round(CAST(len(list_filter(toks, t -> t IN ({_sql_in_list(STOPWORDS)}))) AS DOUBLE)
+               / greatest(len(toks), 1), 4) AS stopword_ratio,
+         round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+               / greatest(n_chars, 1), 4) AS punct_ratio
+  FROM base
+),
+scored AS (
+  SELECT source, doc_id,
+         CASE WHEN n_tokens < 5 THEN 0.0
+              WHEN punct_ratio > 0.3 THEN 0.2
+              ELSE round(least(stopword_ratio * 2, 1.0) * 0.5
+                         + CASE WHEN avg_token_len BETWEEN 3 AND 12
+                                THEN 0.5 ELSE 0.2 END, 4)
+         END AS score
+  FROM stats
+),
+tiled AS (
+  SELECT source, score,
+         ntile(10) OVER (PARTITION BY source ORDER BY score, doc_id) AS decile
+  FROM scored
+)
+SELECT source, CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(score), 4) AS min_score, round(max(score), 4) AS max_score
+FROM tiled GROUP BY source, decile
+"""
+
+
+# ===========================================================================
+# 81. Boilerplate line removal (operators/dedup.boilerplate_lines). The
+# synthetic docs are single-line, which would make the check vacuous
+# (n_boiler = 0 everywhere) — so the query derives a multi-line fixture
+# from the corpus first (per-source banner + every-7th-doc promo + global
+# footer), the same derived-fixture device as the cased token_classify
+# fixture. Banner/promo/footer must come back flagged; bodies must not.
+
+BOILER_BANNER = "SOURCE BANNER "
+BOILER_PROMO = "promo: visit our site today"
+BOILER_FOOTER = "(c) corpus footer do not remove"
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    from .operators.dedup import boilerplate_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.concat(
+            F.lit(BOILER_BANNER), F.col("source"), F.lit("\n"),
+            F.col("text"), F.lit("\n"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(BOILER_PROMO + "\n")).otherwise(F.lit("")),
+            F.lit(BOILER_FOOTER),
+        ).alias("text"),
+    )
+    return boilerplate_lines(d)
+
+
+SQL_BOILERPLATE_LINES = f"""
+WITH fixture AS (
+  SELECT doc_id, source,
+         '{BOILER_BANNER}' || source || chr(10) || text || chr(10)
+         || CASE WHEN doc_id % 7 = 0 THEN '{BOILER_PROMO}' || chr(10)
+                 ELSE '' END
+         || '{BOILER_FOOTER}' AS text
+  FROM documents
+),
+split AS (
+  SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM fixture
+),
+lines AS (
+  SELECT doc_id, source, unnest(range(1, len(ls) + 1)) AS i, ls FROM split
+),
+lines2 AS (
+  SELECT doc_id, source, i - 1 AS pos, trim(ls[i]) AS line FROM lines
+),
+boiler AS (
+  SELECT source, line, TRUE AS is_boiler
+  FROM lines2 WHERE length(line) >= 10
+  GROUP BY source, line HAVING count(DISTINCT doc_id) >= 3
+),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line, coalesce(b.is_boiler, FALSE) AS is_boiler
+  FROM lines2 l LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE NOT is_boiler), '')) AS clean_hash
+FROM marked GROUP BY doc_id
 """

@@ -257,3 +257,54 @@ def span_dedup_stats(df: DataFrame, n: int = 8, text_col: str = "text",
             .alias("dup_frac"),
         )
     )
+
+
+def boilerplate_lines(df: DataFrame, min_df: int = 3,
+                      min_line_chars: int = 10,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      source_col: str = "source") -> DataFrame:
+    """(doc_id, n_lines, n_boiler, clean_hash): CCNet/RefinedWeb-style
+    boilerplate removal — a line (newline-delimited, trimmed) that repeats
+    across >= ``min_df`` DISTINCT docs of the SAME source is boilerplate
+    (nav bars, cookie banners, license headers); short lines below
+    ``min_line_chars`` chars are exempt from counting (they repeat for
+    benign reasons). Emits per-doc totals plus the md5 of the doc with
+    boilerplate lines removed (order-preserving) rather than the cleaned
+    text itself, so the output stays audit-sized.
+
+    100 TB shape: posexplode lines (narrow) → one (source, line) distinct-doc
+    agg over the LONG lines only (the frequency dictionary — boilerplate
+    vocab is tiny next to the corpus) → one dictionary join back (skew on a
+    viral line is bounded: the dictionary side is one row per distinct
+    line) → one doc-keyed agg rebuilding line order via sort_array on pos.
+    No windows, no Python."""
+    lines = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select("doc_id", "source", "pos", F.trim("line").alias("line"))
+    longl = lines.where(F.length("line") >= min_line_chars)
+    boiler = (
+        longl.groupBy("source", "line")
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+        .where(F.col("line_df") >= min_df)
+        .select("source", "line", F.lit(True).alias("is_boiler"))
+    )
+    marked = lines.join(boiler, ["source", "line"], "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_boiler"),
+            F.md5(F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        ~F.coalesce(F.col("is_boiler"), F.lit(False)),
+                        F.struct("pos", "line")))),
+                    lambda s: s["line"]),
+            )).alias("clean_hash"),
+        )
+        .select("doc_id", F.col("n_lines").cast("long").alias("n_lines"),
+                F.col("n_boiler").cast("long").alias("n_boiler"), "clean_hash")
+    )

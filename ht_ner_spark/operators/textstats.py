@@ -487,3 +487,40 @@ def source_profile(df: DataFrame, text_col: str = "text",
             / (n * F.lit(10000.0)), 6
         ).alias("avg_quality"),
     )
+
+
+def quality_deciles(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", source_col: str = "source",
+                    buckets: int = 10) -> DataFrame:
+    """(source, decile, n_docs, min_score, max_score): per-source quality
+    decile cutoffs — the table a curation run reads to set "keep top-X% of
+    each source" thresholds (per-source, because a single global cutoff
+    just deletes the weakest source wholesale). Score = the quality_score
+    composite already used by quality_stats; ties broken by doc_id so the
+    bucketing is deterministic and engine-portable.
+
+    100 TB shape: one narrow scoring pass, one source-partitioned Window
+    (ntile + deterministic order), one (source, decile) agg that reuses
+    the Window's partitioning. Sources are few; if one source dominates
+    the corpus its window partition is a single task — the documented
+    mitigation is pre-splitting by salted source and merging cutoffs,
+    which this table's (min, max, n) contents make associative."""
+    from pyspark.sql import Window
+
+    scored = quality_stats(
+        df, text_col=text_col, id_col=id_col,
+        keep={"source": F.col(source_col)},
+    ).select("source", F.col("doc_id").cast("long").alias("doc_id"),
+             F.col("quality_score").alias("score"))
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(buckets).over(w))
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("score").alias("min_score"),
+             F.max("score").alias("max_score"))
+        .select("source", F.col("decile").cast("int").alias("decile"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.round("min_score", 4).alias("min_score"),
+                F.round("max_score", 4).alias("max_score"))
+    )

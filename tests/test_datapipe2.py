@@ -142,3 +142,82 @@ def test_dsir_weights_planted(spark):
     assert abs(out[1]["llr"] - 2 * ly) < 1e-3      # off-domain doc scores down
     assert abs(out[2]["avg_llr"] - (lx + ly) / 2) < 1e-3
     assert out[0]["llr"] > out[2]["llr"] > out[1]["llr"]
+
+
+def test_chunk_documents_planted(spark):
+    from ht_ner_spark.operators.indexing import chunk_documents
+
+    # 10 tokens, chunk_size=4, overlap=1 -> step 3 -> starts 0,3,6,9
+    docs = spark.createDataFrame(
+        [(7, "a b c d e f g h i j"), (8, "  "), (9, "x")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_size=4, overlap=1).collect()
+    by = {(r["doc_id"], r["chunk_id"]): r for r in out}
+    assert {k[0] for k in by} == {7, 9}           # all-whitespace doc dropped
+    assert [by[(7, i)]["start"] for i in range(4)] == [0, 3, 6, 9]
+    assert [by[(7, i)]["n_tokens"] for i in range(4)] == [4, 4, 4, 1]
+    assert by[(9, 0)]["n_tokens"] == 1 and len(by) == 5
+    import hashlib
+    assert by[(7, 1)]["chunk_hash"] == hashlib.md5(
+        "\x1f".join(["d", "e", "f", "g"]).encode()).hexdigest()
+
+
+def test_inverted_index_planted(spark):
+    from ht_ner_spark.operators.indexing import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog"), (3, "cat fish"), (4, "dog dog")],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in inverted_index(docs, postings_cap=2).collect()}
+    assert out["cat"]["df"] == 2 and out["cat"]["total_tf"] == 3
+    assert out["dog"]["df"] == 3 and out["dog"]["total_tf"] == 4
+    assert out["dog"]["postings"] == [1, 2]       # capped at 2, ascending
+    assert out["fish"]["postings"] == [3]
+
+
+def test_quality_deciles_planted(spark):
+    from ht_ner_spark.operators.textstats import quality_deciles
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * (1 + i % 3),
+          "en", "web", 0) for i in range(23)]
+        + [(100 + i, "word " * 30, "en", "books", 0) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = quality_deciles(docs).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert sum(r["n_docs"] for r in by_src["web"]) == 23
+    assert sum(r["n_docs"] for r in by_src["books"]) == 4
+    # ntile balance: group sizes differ by at most 1 within a source
+    sizes = [r["n_docs"] for r in by_src["web"]]
+    assert max(sizes) - min(sizes) <= 1
+    # cutoffs are monotone across deciles
+    web = sorted(by_src["web"], key=lambda r: r["decile"])
+    for a, b in zip(web, web[1:]):
+        assert a["max_score"] <= b["min_score"] + 1e-9
+
+
+def test_boilerplate_lines_planted(spark):
+    import hashlib
+
+    from ht_ner_spark.operators.dedup import boilerplate_lines
+
+    banner = "COOKIE BANNER ACCEPT ALL"
+    docs = spark.createDataFrame(
+        [(i, f"{banner}\nunique body {i} with words\nok", "web")
+         for i in range(3)]
+        + [(9, f"{banner}\nsolo body here today", "blogs")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_lines(docs, min_df=3).collect()}
+    # banner repeats in 3 web docs -> boiler there; 'ok' is short-exempt
+    for i in range(3):
+        assert out[i]["n_lines"] == 3 and out[i]["n_boiler"] == 1
+        want = f"unique body {i} with words\nok"
+        assert out[i]["clean_hash"] == hashlib.md5(want.encode()).hexdigest()
+    # same banner in a DIFFERENT source with df=1 is NOT boilerplate
+    assert out[9]["n_boiler"] == 0

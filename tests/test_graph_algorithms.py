@@ -117,3 +117,29 @@ def test_khop_neighborhood_planted(spark):
             khop_neighborhood(triples, ["a"], hops=2,
                               broadcast_frontier=False).collect()}
     assert out1 == out
+
+
+def test_adamic_adar_planted(spark):
+    import math
+
+    from ht_ner_spark.operators.graph import adamic_adar
+
+    # path a-b-c: only non-adjacent distance-2 pair is (a,c) through b
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")], "subj string, pred string, obj string"
+    )
+    preds, dropped = adamic_adar(t)
+    rows = preds.collect()
+    assert len(rows) == 1 and dropped.count() == 0
+    r = rows[0]
+    assert (r["u"], r["v"], r["common"]) == ("a", "c", 1)
+    assert abs(r["aa"] - 1 / math.log(2)) < 1e-5
+
+    # hub cap: star center z with 3 leaves; capping deg>2 drops z entirely
+    star = spark.createDataFrame(
+        [("z", "p", "l1"), ("z", "p", "l2"), ("z", "p", "l3")],
+        "subj string, pred string, obj string",
+    )
+    preds2, dropped2 = adamic_adar(star, max_center_degree=2)
+    assert preds2.count() == 0
+    assert {r["node"] for r in dropped2.collect()} == {"z"}
