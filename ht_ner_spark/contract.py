@@ -2087,6 +2087,8 @@ def queries() -> dict:
         "adamic_adar": q_adamic_adar,
         "quality_deciles": q_quality_deciles,
         "boilerplate_lines": q_boilerplate_lines,
+        "entity_cards": q_entity_cards,
+        "norm_outliers": q_norm_outliers,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2175,6 +2177,8 @@ def oracle_sql() -> dict:
         "adamic_adar": _sql_adamic_adar(),
         "quality_deciles": SQL_QUALITY_DECILES,
         "boilerplate_lines": SQL_BOILERPLATE_LINES,
+        "entity_cards": _sql_entity_cards(),
+        "norm_outliers": SQL_NORM_OUTLIERS,
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -3698,4 +3702,77 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
                     FILTER (WHERE NOT is_boiler), '')) AS clean_hash
 FROM marked GROUP BY doc_id
+"""
+
+
+# ===========================================================================
+# 82. KG entity cards (operators/graph.entity_cards): per-entity profile —
+# triple count, predicate diversity, dominant predicate, capped object
+# sample. All three legs keyed on subj; the object sample is rank-capped
+# BEFORE collect.
+
+def q_entity_cards(spark, sf_dir):
+    from .operators.graph import entity_cards
+
+    return entity_cards(q_kg_pipeline_triples(spark, sf_dir))
+
+
+def _sql_entity_cards() -> str:
+    return f"""
+WITH t AS ({_sql_kg_pipeline()}),
+tp AS (SELECT subj, pred, count(*) AS n FROM t GROUP BY subj, pred),
+stats AS (SELECT subj, sum(n) AS n_triples, count(*) AS n_preds
+          FROM tp GROUP BY subj),
+top AS (
+  SELECT subj, pred AS top_pred, n AS top_pred_n FROM (
+    SELECT *, row_number() OVER (PARTITION BY subj
+                                 ORDER BY n DESC, pred) AS rn
+    FROM tp) WHERE rn = 1
+),
+so AS (SELECT DISTINCT subj, obj FROM t),
+objs AS (
+  SELECT subj, array_to_string(list(obj ORDER BY obj), ',') AS objs_sample
+  FROM (SELECT subj, obj,
+               row_number() OVER (PARTITION BY subj ORDER BY obj) AS rn
+        FROM so) WHERE rn <= 5 GROUP BY subj
+)
+SELECT s.subj, CAST(s.n_triples AS BIGINT) AS n_triples,
+       CAST(s.n_preds AS BIGINT) AS n_preds, top.top_pred,
+       CAST(top.top_pred_n AS BIGINT) AS top_pred_n, objs.objs_sample
+FROM stats s JOIN top USING (subj) JOIN objs USING (subj)
+"""
+
+
+# ===========================================================================
+# 83. Embedding norm outliers (operators/similarity.norm_outliers):
+# exact-rank tail flags over grid-summed squared L2 norms.
+
+def q_norm_outliers(spark, sf_dir):
+    from .operators.similarity import norm_outliers
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return norm_outliers(emb)
+
+
+SQL_NORM_OUTLIERS = """
+WITH norms AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         round(coalesce(list_sum(
+             [CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6)
+               AS BIGINT) FOR x IN embedding]), 0) / 1e6, 6) AS norm2
+  FROM embeddings
+),
+flagged AS (
+  SELECT vec_id, norm2,
+         row_number() OVER (ORDER BY norm2, vec_id) AS r_lo,
+         row_number() OVER (ORDER BY norm2 DESC, vec_id DESC) AS r_hi,
+         count(*) OVER () AS n
+  FROM norms
+)
+SELECT vec_id, norm2,
+       CASE WHEN r_lo <= greatest(1, CAST(ceil(0.01 * n) AS BIGINT))
+            THEN 'low'
+            WHEN r_hi <= greatest(1, CAST(ceil(0.01 * n) AS BIGINT))
+            THEN 'high' ELSE 'ok' END AS flag
+FROM flagged
 """

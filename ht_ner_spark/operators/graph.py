@@ -286,3 +286,49 @@ def adamic_adar(triples: DataFrame, max_center_degree: int | None = None
         F.round(F.col("aa6") / 1e6, 6).alias("aa"),
     )
     return preds, dropped
+
+
+def entity_cards(triples: DataFrame, obj_sample_k: int = 5) -> DataFrame:
+    """(subj, n_triples, n_preds, top_pred, top_pred_n, objs_sample): the
+    per-entity profile card a KG consumer renders (RAG entity context,
+    disambiguation pages): triple count, predicate diversity, dominant
+    predicate (ties -> pred asc), and the first ``obj_sample_k`` distinct
+    objects (lexicographic, comma-joined — deterministic and audit-sized,
+    not a full neighbor dump).
+
+    100 TB shape: everything is keyed on subj — one (subj, pred) agg, one
+    subj-partitioned Window for the dominant predicate, one (subj, obj)
+    distinct + Window rank to cap the sample BEFORE collect_list (hub
+    entities have millions of objects; the cap bounds agg state), then
+    subj-keyed joins that reuse the same hash partitioning."""
+    from pyspark.sql import Window
+
+    tp = triples.groupBy("subj", "pred").agg(F.count(F.lit(1)).alias("n"))
+    stats = tp.groupBy("subj").agg(
+        F.sum("n").alias("n_triples"),
+        F.count(F.lit(1)).alias("n_preds"),
+    )
+    w = Window.partitionBy("subj").orderBy(F.desc("n"), F.asc("pred"))
+    top = (
+        tp.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        .select("subj", F.col("pred").alias("top_pred"),
+                F.col("n").alias("top_pred_n"))
+    )
+    wo = Window.partitionBy("subj").orderBy("obj")
+    objs = (
+        triples.select("subj", "obj").distinct()
+        .withColumn("rn", F.row_number().over(wo))
+        .where(F.col("rn") <= obj_sample_k)
+        .groupBy("subj")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("obj")))
+             .alias("objs_sample"))
+    )
+    return (
+        stats.join(top, "subj").join(objs, "subj")
+        .select("subj",
+                F.col("n_triples").cast("long").alias("n_triples"),
+                F.col("n_preds").cast("long").alias("n_preds"),
+                "top_pred",
+                F.col("top_pred_n").cast("long").alias("top_pred_n"),
+                "objs_sample")
+    )

@@ -298,3 +298,48 @@ def semantic_dedup(vectors: DataFrame,
             F.col("dup_of").cast("long").alias("dup_of"),
         )
     )
+
+
+def norm_outliers(df: DataFrame, frac: float = 0.01,
+                  id_col: str = "vec_id", vec_col: str = "embedding"
+                  ) -> DataFrame:
+    """(vec_id, norm2, flag): embedding quality gate — squared L2 norm per
+    vector plus an outlier flag for the bottom/top ``frac`` tail by EXACT
+    global rank ('low' | 'high' | 'ok'). Degenerate embeddings (near-zero
+    or exploded norms) are the standard symptom of encoder failures
+    upstream; curation drops or re-embeds the tails.
+
+    Rank cutoffs are integer positions (ceil(frac*n)), not interpolated
+    quantiles — deterministic and engine-portable. Per-element squares land
+    on the 1e-6 long grid BEFORE summation (array order is engine/SIMD
+    dependent; long sums are order-proof).
+
+    100 TB shape: one narrow scan computes norms; the exact dual rank
+    (asc + desc in one pass) comes from the distributed exact_global_rank
+    machinery twice over a 2-column frame — vector payloads are dropped
+    before anything shuffles."""
+    from .rank import exact_global_rank
+
+    norm6 = F.aggregate(
+        F.col(vec_col),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.round(x.cast("double") * x.cast("double") * 1e6).cast("long"),
+    )
+    norms = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.round(norm6 / 1e6, 6).alias("norm2"),
+    )
+    ranked = exact_global_rank(
+        norms, [F.asc("norm2"), F.asc("vec_id")], "r_lo")
+    ranked = exact_global_rank(
+        ranked, [F.desc("norm2"), F.desc("vec_id")], "r_hi")
+    n = norms.count()
+    import math
+    k = max(1, math.ceil(frac * n))
+    return ranked.select(
+        "vec_id", "norm2",
+        F.when(F.col("r_lo") <= k, F.lit("low"))
+        .when(F.col("r_hi") <= k, F.lit("high"))
+        .otherwise(F.lit("ok")).alias("flag"),
+    )

@@ -143,3 +143,18 @@ def test_adamic_adar_planted(spark):
     preds2, dropped2 = adamic_adar(star, max_center_degree=2)
     assert preds2.count() == 0
     assert {r["node"] for r in dropped2.collect()} == {"z"}
+
+
+def test_entity_cards_planted(spark):
+    from ht_ner_spark.operators.graph import entity_cards
+
+    t = spark.createDataFrame(
+        [("a", "p1", "x"), ("a", "p1", "y"), ("a", "p2", "z"),
+         ("b", "p9", "w")],
+        "subj string, pred string, obj string",
+    )
+    out = {r["subj"]: r for r in entity_cards(t, obj_sample_k=2).collect()}
+    assert out["a"]["n_triples"] == 3 and out["a"]["n_preds"] == 2
+    assert out["a"]["top_pred"] == "p1" and out["a"]["top_pred_n"] == 2
+    assert out["a"]["objs_sample"] == "x,y"     # capped at 2, lexicographic
+    assert out["b"]["top_pred"] == "p9" and out["b"]["objs_sample"] == "w"

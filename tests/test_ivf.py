@@ -81,3 +81,15 @@ def test_kmeans_quantizer_plugs_in(vecs, queries):
     # ~0.32 — see bucketed_ann_topk docstring); kmeans cells at nprobe 3/8
     # still must beat random candidate sampling by a wide margin
     assert recall >= 0.4, f"kmeans-IVF recall {recall:.2f}"
+
+
+def test_norm_outliers_planted(spark):
+    from ht_ner_spark.operators.similarity import norm_outliers
+
+    rows = [(i, [1.0, 0.0]) for i in range(8)]          # norm2 = 1
+    rows += [(100, [0.0, 0.0]), (101, [10.0, 10.0])]    # degenerate tails
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in norm_outliers(emb, frac=0.1).collect()}
+    assert out[100]["flag"] == "low" and out[100]["norm2"] == 0.0
+    assert out[101]["flag"] == "high" and abs(out[101]["norm2"] - 200.0) < 1e-6
+    assert all(out[i]["flag"] == "ok" for i in range(8))
