@@ -314,10 +314,11 @@ def norm_outliers(df: DataFrame, frac: float = 0.01,
     on the 1e-6 long grid BEFORE summation (array order is engine/SIMD
     dependent; long sums are order-proof).
 
-    100 TB shape: one narrow scan computes norms; the exact dual rank
-    (asc + desc in one pass) comes from the distributed exact_global_rank
-    machinery twice over a 2-column frame — vector payloads are dropped
-    before anything shuffles."""
+    100 TB shape: one narrow scan computes norms and DROPS the vector
+    payload before anything shuffles; ONE distributed exact_global_rank
+    (range shuffle) gives the ascending rank, and because the sort key
+    (norm2, vec_id) is duplicate-free the descending rank is just
+    n + 1 - r_lo — no second range pass."""
     from .rank import exact_global_rank
 
     norm6 = F.aggregate(
@@ -332,14 +333,12 @@ def norm_outliers(df: DataFrame, frac: float = 0.01,
     )
     ranked = exact_global_rank(
         norms, [F.asc("norm2"), F.asc("vec_id")], "r_lo")
-    ranked = exact_global_rank(
-        ranked, [F.desc("norm2"), F.desc("vec_id")], "r_hi")
     n = norms.count()
     import math
     k = max(1, math.ceil(frac * n))
     return ranked.select(
         "vec_id", "norm2",
         F.when(F.col("r_lo") <= k, F.lit("low"))
-        .when(F.col("r_hi") <= k, F.lit("high"))
+        .when(F.lit(n) + 1 - F.col("r_lo") <= k, F.lit("high"))
         .otherwise(F.lit("ok")).alias("flag"),
     )
