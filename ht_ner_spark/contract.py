@@ -2089,6 +2089,8 @@ def queries() -> dict:
         "boilerplate_lines": q_boilerplate_lines,
         "entity_cards": q_entity_cards,
         "norm_outliers": q_norm_outliers,
+        "trending_events": q_trending_events,
+        "props_profile": q_props_profile,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2179,6 +2181,8 @@ def oracle_sql() -> dict:
         "boilerplate_lines": SQL_BOILERPLATE_LINES,
         "entity_cards": _sql_entity_cards(),
         "norm_outliers": SQL_NORM_OUTLIERS,
+        "trending_events": SQL_TRENDING_EVENTS,
+        "props_profile": SQL_PROPS_PROFILE,
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -3775,4 +3779,68 @@ SELECT vec_id, norm2,
             WHEN r_hi <= greatest(1, CAST(ceil(0.01 * n) AS BIGINT))
             THEN 'high' ELSE 'ok' END AS flag
 FROM flagged
+"""
+
+
+# ===========================================================================
+# 84. Trending event types (operators/eventstats.trending_event_types):
+# tumbling-hour top-k with previous-active-window delta; window starts
+# cross engines as epoch micros (the session_windows convention). Oracle
+# floors epoch_us to the hour — identical to Spark's epoch-aligned window.
+
+def q_trending_events(spark, sf_dir):
+    from .operators.eventstats import trending_event_types
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trending_event_types(ev)
+
+
+SQL_TRENDING_EVENTS = """
+WITH wc AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
+         event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT *, lag(cnt) OVER (PARTITION BY event_type ORDER BY win_us)
+            AS prev_cnt
+  FROM wc
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY win_us
+                               ORDER BY cnt DESC, event_type) AS rnk
+  FROM lagged
+)
+SELECT CAST(win_us AS BIGINT) AS win_us, event_type,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt - coalesce(prev_cnt, 0) AS BIGINT) AS delta,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+# ===========================================================================
+# 85. JSON props profile (operators/eventstats.props_profile): JVM-side
+# get_json_object vs DuckDB's native JSON extraction; avg on the 1e-6 grid.
+
+def q_props_profile(spark, sf_dir):
+    from .operators.eventstats import props_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return props_profile(ev)
+
+
+SQL_PROPS_PROFILE = """
+WITH base AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv,
+         CAST(round(value * 1e6) AS BIGINT) AS v6
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(kv) AS BIGINT) AS n_with_key,
+       CAST(coalesce(sum(kv), 0) AS BIGINT) AS sum_key,
+       round(sum(v6) / (count(v6) * 1e6), 4) AS avg_value
+FROM base GROUP BY event_type
 """

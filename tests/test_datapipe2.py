@@ -221,3 +221,43 @@ def test_boilerplate_lines_planted(spark):
         assert out[i]["clean_hash"] == hashlib.md5(want.encode()).hexdigest()
     # same banner in a DIFFERENT source with df=1 is NOT boilerplate
     assert out[9]["n_boiler"] == 0
+
+
+def test_trending_event_types_planted(spark):
+    from datetime import datetime
+
+    from ht_ner_spark.operators.eventstats import trending_event_types
+
+    def t(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    ev = spark.createDataFrame(
+        [(t(0, 1), "click"), (t(0, 2), "click"), (t(0, 3), "view"),
+         (t(1, 1), "click"), (t(1, 2), "view"), (t(1, 3), "view"),
+         (t(1, 4), "view")],
+        "ts timestamp, event_type string",
+    )
+    out = {(r["win_us"], r["event_type"]): r
+           for r in trending_event_types(ev, k=2).collect()}
+    h0 = int(datetime(2024, 1, 1).timestamp()) * 1_000_000
+    h1 = h0 + 3_600_000_000
+    assert out[(h0, "click")]["rnk"] == 1 and out[(h0, "click")]["cnt"] == 2
+    assert out[(h0, "click")]["delta"] == 2          # no previous window
+    assert out[(h1, "view")]["rnk"] == 1 and out[(h1, "view")]["cnt"] == 3
+    assert out[(h1, "view")]["delta"] == 2           # 3 vs 1 in hour 0
+    assert out[(h1, "click")]["delta"] == -1         # 1 vs 2 in hour 0
+
+
+def test_props_profile_planted(spark):
+    from ht_ner_spark.operators.eventstats import props_profile
+
+    ev = spark.createDataFrame(
+        [("click", '{"k": 3}', 1.5), ("click", '{"x": 9}', 2.5),
+         ("view", "not json", 4.0), ("view", '{"k": 7}', 6.0)],
+        "event_type string, props string, value double",
+    )
+    out = {r["event_type"]: r for r in props_profile(ev).collect()}
+    assert out["click"]["n_events"] == 2 and out["click"]["n_with_key"] == 1
+    assert out["click"]["sum_key"] == 3 and out["click"]["avg_value"] == 2.0
+    assert out["view"]["n_with_key"] == 1 and out["view"]["sum_key"] == 7
+    assert out["view"]["avg_value"] == 5.0
