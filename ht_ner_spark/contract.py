@@ -2091,6 +2091,7 @@ def queries() -> dict:
         "norm_outliers": q_norm_outliers,
         "trending_events": q_trending_events,
         "props_profile": q_props_profile,
+        "star_revenue": q_star_revenue,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2183,6 +2184,7 @@ def oracle_sql() -> dict:
         "norm_outliers": SQL_NORM_OUTLIERS,
         "trending_events": SQL_TRENDING_EVENTS,
         "props_profile": SQL_PROPS_PROFILE,
+        "star_revenue": SQL_STAR_REVENUE,
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -3843,4 +3845,53 @@ SELECT event_type,
        CAST(coalesce(sum(kv), 0) AS BIGINT) AS sum_key,
        round(sum(v6) / (count(v6) * 1e6), 4) AS avg_value
 FROM base GROUP BY event_type
+"""
+
+
+# ===========================================================================
+# 86. Star-join revenue rollup over the relational tables (the dimension-
+# broadcast pattern stated, not implied): orders (fact) shuffles ONCE on
+# custkey; customer is the mid dimension; nation/region ride broadcasts.
+# Totals on the 1e-2 cent grid (prices are 2-decimal decimals in spirit;
+# long sums are order-proof).
+
+def q_star_revenue(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    dim = (
+        cust.join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    f = orders.where(F.col("o_orderstatus") != "F").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    return (
+        f.join(dim, f.o_custkey == dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum("price_c").alias("rev_c"))
+        .select(
+            "r_name", "n_name",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        )
+    )
+
+
+SQL_STAR_REVENUE = """
+SELECT r.r_name, n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY r.r_name, n.n_name
 """
