@@ -74,6 +74,16 @@ class PipelineConfig:
     # only shape that survives a corpus whose distinct shas exceed one
     # executor's memory, so the scale-safe path needs no hint.
     corpus_rows_hint: int | None = None
+    # 'write-fast' (default): triples land in the dedup agg's arrival order
+    # — zero extra work on the write path. 'read-optimized': one
+    # repartitionByRange(pred, subj) + sortWithinPartitions(subj, obj)
+    # before the write lays each pred directory out as near-disjoint subj
+    # ranges per file, so entity point-lookups (WHERE subj = ...) skip
+    # whole files/row-groups on parquet min/max stats. Costs one extra
+    # full-table range shuffle inside the write — the standard layout
+    # investment for a KG written once and read many times (on Iceberg this
+    # is the table's sort order; here it is the write-side distribution).
+    triples_layout: str = "write-fast"
 
 
 # Broadcast the audit's corpus-sha set only when the corpus is known to be
@@ -464,6 +474,14 @@ def run(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig,
             # AQE's coalescing keeps >= defaultParallelism partitions
             # (coalescePartitions.parallelismFirst=true default), so the
             # encode stays parallel at small sizes too.
+            if cfg.triples_layout == "read-optimized":
+                # opt-in layout shuffle (see PipelineConfig.triples_layout):
+                # near-disjoint subj ranges per file -> min/max skipping for
+                # entity point-lookups on the written KG
+                triples = (
+                    triples.repartitionByRange("pred", "subj")
+                    .sortWithinPartitions("subj", "obj")
+                )
             with _timed(timings, "s4_write"):
                 cat.write_table(triples, wh, "triples", partition_by=["pred"])
             # audit the WRITTEN table (what consumers will read): auditing the
