@@ -2092,6 +2092,7 @@ def queries() -> dict:
         "trending_events": q_trending_events,
         "props_profile": q_props_profile,
         "star_revenue": q_star_revenue,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2185,6 +2186,7 @@ def oracle_sql() -> dict:
         "trending_events": SQL_TRENDING_EVENTS,
         "props_profile": SQL_PROPS_PROFILE,
         "star_revenue": SQL_STAR_REVENUE,
+        "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -3894,4 +3896,42 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE o.o_orderstatus <> 'F'
 GROUP BY r.r_name, n.n_name
+"""
+
+
+# ===========================================================================
+# 87. Winnowing fingerprints (operators/textstats.winnow_fingerprint):
+# MOSS-style local fingerprinting (Schleimer et al. 2003), k=3-gram md5s,
+# w=4 window lexicographic minima. Entirely narrow in both engines.
+
+def q_winnow_fingerprint(spark, sf_dir):
+    return ts.winnow_fingerprint(_docs(spark, sf_dir))
+
+
+SQL_WINNOW_FINGERPRINT = """
+WITH base AS (
+  SELECT doc_id,
+         [w FOR w IN string_split_regex(lower(trim(text)), '\\s+')
+          IF w <> ''] AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) >= 6),
+g AS (
+  SELECT doc_id, n - 2 AS n_grams,
+         [md5(array_to_string(toks[i + 1 : i + 3], chr(31)))
+          FOR i IN range(0, n - 2)] AS gh
+  FROM nz
+),
+sel AS (
+  SELECT doc_id, n_grams,
+         list_sort(list_distinct(
+             [list_min(gh[i + 1 : i + 4])
+              FOR i IN range(0, len(gh) - 3)])) AS sel
+  FROM g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(sel) AS BIGINT) AS n_selected,
+       md5(array_to_string(sel, ',')) AS fp_hash
+FROM sel
 """

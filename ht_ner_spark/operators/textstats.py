@@ -524,3 +524,46 @@ def quality_deciles(df: DataFrame, text_col: str = "text",
                 F.round("min_score", 4).alias("min_score"),
                 F.round("max_score", 4).alias("max_score"))
     )
+
+
+def winnow_fingerprint(df: DataFrame, k: int = 3, w: int = 4,
+                       text_col: str = "text", id_col: str = "doc_id"
+                       ) -> DataFrame:
+    """(doc_id, n_grams, n_selected, fp_hash): winnowing fingerprints
+    (Schleimer, Wilkerson & Aiken 2003 — the MOSS local document
+    fingerprinting scheme): hash every k-gram, slide a w-hash window, keep
+    each window's minimum; the selected set is position-independent and
+    guarantees any shared run of >= k + w - 1 tokens shares a fingerprint.
+    The "hash" is the gram's md5 STRING and the window minimum is
+    lexicographic — portable across engines, no integer-conversion drift.
+    Docs too short for one window (n_tokens < k + w - 1) are filtered (no
+    gram window exists; the caller's short-doc path is exact dedup).
+
+    100 TB shape: ENTIRELY narrow — per-row array transforms (grams, md5s,
+    window mins, distinct, sort) fused into the scan; output is one row
+    per doc. Zero shuffles, zero Python."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("toks")
+    ).where(F.size("toks") >= k + w - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - k),
+        lambda i: F.md5(F.concat_ws("\x1f", F.slice("toks", i + 1, k))),
+    )
+    g = base.select("doc_id", grams.alias("gh"))
+    sels = F.transform(
+        F.sequence(F.lit(0), F.size("gh") - w),
+        lambda i: F.array_min(F.slice("gh", i + 1, w)),
+    )
+    return g.select(
+        "doc_id",
+        F.size("gh").cast("long").alias("n_grams"),
+        F.array_sort(F.array_distinct(sels)).alias("sel"),
+    ).select(
+        "doc_id", "n_grams",
+        F.size("sel").cast("long").alias("n_selected"),
+        F.md5(F.concat_ws(",", F.col("sel"))).alias("fp_hash"),
+    )

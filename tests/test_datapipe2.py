@@ -261,3 +261,37 @@ def test_props_profile_planted(spark):
     assert out["click"]["sum_key"] == 3 and out["click"]["avg_value"] == 2.0
     assert out["view"]["n_with_key"] == 1 and out["view"]["sum_key"] == 7
     assert out["view"]["avg_value"] == 5.0
+
+
+def test_winnow_fingerprint_planted(spark):
+    import hashlib
+
+    from ht_ner_spark.operators.textstats import winnow_fingerprint
+
+    # the winnowing guarantee: docs sharing a run of >= k+w-1 tokens share
+    # at least one selected fingerprint
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(0, "intro words here " + shared),
+         (1, shared + " totally different tail text"),
+         (2, "unrelated content with many other tokens present"),
+         (3, "too short")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprint(docs).collect()
+    by = {r["doc_id"]: r for r in rows}
+    assert 3 not in by                         # < k+w-1 tokens -> filtered
+    assert by[0]["n_grams"] == 9 - 2           # n - k + 1
+
+    # recompute doc 0/1 selected sets in pure python and check overlap
+    def winnow(text, k=3, w=4):
+        t = text.lower().split()
+        gh = [hashlib.md5("\x1f".join(t[i:i + k]).encode()).hexdigest()
+              for i in range(len(t) - k + 1)]
+        return sorted({min(gh[i:i + w]) for i in range(len(gh) - w + 1)})
+
+    s0, s1 = winnow(docs.collect()[0]["text"]), winnow(docs.collect()[1]["text"])
+    assert set(s0) & set(s1), "shared run must share a fingerprint"
+    assert by[0]["fp_hash"] == hashlib.md5(",".join(s0).encode()).hexdigest()
+    assert by[1]["fp_hash"] == hashlib.md5(",".join(s1).encode()).hexdigest()
+    assert by[0]["n_selected"] == len(s0)
