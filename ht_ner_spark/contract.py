@@ -2093,6 +2093,7 @@ def queries() -> dict:
         "props_profile": q_props_profile,
         "star_revenue": q_star_revenue,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "random_walks": q_random_walks,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2187,6 +2188,7 @@ def oracle_sql() -> dict:
         "props_profile": SQL_PROPS_PROFILE,
         "star_revenue": SQL_STAR_REVENUE,
         "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
+        "random_walks": _sql_random_walks(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -3935,3 +3937,47 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        md5(array_to_string(sel, ',')) AS fp_hash
 FROM sel
 """
+
+
+# ===========================================================================
+# 88. Deterministic random walks (operators/graph.random_walks): DeepWalk
+# corpus with md5-argmin steps, replayed exactly by unrolled SQL rounds.
+
+WALK_LEN = 4
+WALKS_PER_NODE = 2
+
+
+def q_random_walks(spark, sf_dir):
+    from .operators.graph import random_walks
+
+    return random_walks(q_kg_pipeline_triples(spark, sf_dir),
+                        walks_per_node=WALKS_PER_NODE, length=WALK_LEN)
+
+
+def _sql_random_walks() -> str:
+    wids = ", ".join(f"({i})" for i in range(WALKS_PER_NODE))
+    sql = f"""
+WITH t AS ({_sql_kg_pipeline()}),
+e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+w0 AS (
+  SELECT node, wid, node AS cur, node AS path
+  FROM (SELECT DISTINCT src AS node FROM e)
+  CROSS JOIN (VALUES {wids}) w(wid)
+)"""
+    prev = "w0"
+    for t in range(1, WALK_LEN):
+        sql += f""",
+s{t} AS (
+  SELECT node, wid, path,
+         min_by(dst, md5(node || chr(31) || CAST(wid AS VARCHAR)
+                         || chr(31) || '{t}' || chr(31) || dst)) AS cur
+  FROM {prev} JOIN e ON {prev}.cur = e.src
+  GROUP BY node, wid, path
+),
+w{t} AS (SELECT node, wid, cur, path || '->' || cur AS path FROM s{t})"""
+        prev = f"w{t}"
+    sql += f"""
+SELECT node, CAST(wid AS INT) AS wid, path FROM {prev}
+"""
+    return sql

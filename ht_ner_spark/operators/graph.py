@@ -332,3 +332,44 @@ def entity_cards(triples: DataFrame, obj_sample_k: int = 5) -> DataFrame:
                 F.col("top_pred_n").cast("long").alias("top_pred_n"),
                 "objs_sample")
     )
+
+
+def random_walks(triples: DataFrame, walks_per_node: int = 2,
+                 length: int = 4) -> DataFrame:
+    """(node, wid, path): DeepWalk-style walk corpus over the undirected KG
+    (Perozzi et al. 2014) — ``walks_per_node`` walks of ``length`` nodes
+    from every node, '->'-joined. The step is DETERMINISTIC pseudo-random:
+    next = argmin over neighbors of md5(node, wid, step, neighbor) — the
+    same device as the engine's md5-portable negative sampling, so walks
+    are reproducible across engines/retries (a seeded RNG is not: partition
+    order isn't stable) and the contract oracle replays them exactly.
+
+    100 TB shape: length-1 rounds of frontier ⋈ edges (hash join on the
+    current node) + a (node, wid)-keyed min_by agg per round — the
+    pagerank/khop iteration shape; the edge frame is loop-invariant and
+    localCheckpointed once. Hub fan-out per round is deg(cur) per walk,
+    reduced immediately by the min_by partial agg (map-side combine)."""
+    e = triples.select(F.col("subj").alias("src"),
+                       F.col("obj").alias("dst")).distinct()
+    sym = (e.unionAll(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct()
+           .localCheckpoint())
+    walks = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .select("node", F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("wid"))
+        .select("node", "wid", F.col("node").alias("cur"),
+                F.col("node").alias("path"))
+    )
+    for t in range(1, length):
+        step = walks.join(sym, walks.cur == sym.src).withColumn(
+            "h", F.md5(F.concat_ws("\x1f", "node", "wid",
+                                   F.lit(str(t)), "dst")))
+        walks = (
+            step.groupBy("node", "wid", "path")
+            .agg(F.min_by("dst", "h").alias("cur"))
+            .select("node", "wid", "cur",
+                    F.concat_ws("->", "path", "cur").alias("path"))
+        )
+    return walks.select("node", F.col("wid").cast("int").alias("wid"),
+                        "path")

@@ -158,3 +158,29 @@ def test_entity_cards_planted(spark):
     assert out["a"]["top_pred"] == "p1" and out["a"]["top_pred_n"] == 2
     assert out["a"]["objs_sample"] == "x,y"     # capped at 2, lexicographic
     assert out["b"]["top_pred"] == "p9" and out["b"]["objs_sample"] == "w"
+
+
+def test_random_walks_planted(spark):
+    import hashlib
+
+    from ht_ner_spark.operators.graph import random_walks
+
+    # path graph a-b-c: from b, step 1 chooses argmin-md5 of {a, c}
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")], "subj string, pred string, obj string"
+    )
+    out = {(r["node"], r["wid"]): r["path"]
+           for r in random_walks(t, walks_per_node=2, length=3).collect()}
+    assert len(out) == 6                       # 3 nodes x 2 walks
+    # replay walk (b, 0) in pure python
+    cur, path = "b", "b"
+    for step in (1, 2):
+        nbrs = {"a": ["b"], "b": ["a", "c"], "c": ["b"]}[cur]
+        cur = min(nbrs, key=lambda d: hashlib.md5(
+            f"b\x1f0\x1f{step}\x1f{d}".encode()).hexdigest())
+        path += "->" + cur
+    assert out[("b", 0)] == path
+    # a's walk is forced: a->b->{a or c}
+    assert out[("a", 0)].startswith("a->b->")
+    # all walks have full length
+    assert all(p.count("->") == 2 for p in out.values())
