@@ -133,3 +133,61 @@ def table_exists(spark: SparkSession, warehouse: str, name: str) -> bool:
     return "_SUCCESS" in os.listdir(path) or bool(
         [f for f in os.listdir(path) if f.endswith(".parquet") or f.startswith("pred=")]
     )
+
+
+def compact_table(spark: SparkSession, warehouse: str, name: str,
+                  target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file compaction for a warehouse stage table — the maintenance
+    job every incremental/streaming writer needs (each micro-batch appends
+    its own files; a year of batches = millions of KB-files whose open/seek
+    overhead dominates scans). Rewrites the table at ~``target_file_bytes``
+    per file, preserving the stored partition_by columns, and returns
+    {files_before, files_after, bytes}. On Iceberg this is
+    rewrite_data_files; here it is a read → repartition(ceil(bytes/target))
+    → atomic swap (write to a temp name, then rename) so a concurrent
+    reader never sees a half-written table.
+
+    The repartition count is computed from the table's ACTUAL on-disk bytes
+    (parquet is already compressed — sizing from row counts over-shards
+    small-row tables and under-shards wide ones)."""
+    import math
+    import shutil
+
+    path = os.path.join(warehouse, name)
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = read_table(spark, warehouse, name)
+    meta_path = os.path.join(warehouse, "_meta", f"{name}.json")
+    partition_by = []
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            partition_by = json.load(f).get("partition_by") or []
+    tmp = f"{name}__compact_tmp"
+    write_table(df.repartition(n_out, *partition_by) if partition_by
+                else df.repartition(n_out),
+                warehouse, tmp, partition_by=partition_by or None)
+    # atomic-ish swap: move old out, new in, then drop old (readers holding
+    # the old path keep their already-opened files on posix)
+    old = os.path.join(warehouse, f"{name}__compact_old")
+    os.rename(path, old)
+    os.rename(os.path.join(warehouse, tmp), path)
+    shutil.rmtree(old)
+    # keep the stored schema/meta under the real name
+    tmp_meta = os.path.join(warehouse, "_meta", f"{tmp}.json")
+    if os.path.exists(tmp_meta):
+        with open(tmp_meta) as f:
+            m = json.load(f)
+        m["name"] = name
+        with open(meta_path, "w") as f:
+            json.dump(m, f)
+        os.remove(tmp_meta)
+    after = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    ]
+    return {"files_before": len(files), "files_after": len(after),
+            "bytes": total}
