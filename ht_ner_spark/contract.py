@@ -2094,6 +2094,7 @@ def queries() -> dict:
         "star_revenue": q_star_revenue,
         "winnow_fingerprint": q_winnow_fingerprint,
         "random_walks": q_random_walks,
+        "dedup_normalized": q_dedup_normalized,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2189,6 +2190,7 @@ def oracle_sql() -> dict:
         "star_revenue": SQL_STAR_REVENUE,
         "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
         "random_walks": _sql_random_walks(),
+        "dedup_normalized": SQL_DEDUP_NORMALIZED,
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -3981,3 +3983,41 @@ w{t} AS (SELECT node, wid, cur, path || '->' || cur AS path FROM s{t})"""
 SELECT node, CAST(wid AS INT) AS wid, path FROM {prev}
 """
     return sql
+
+
+# ===========================================================================
+# 89. Normalized exact dedup (operators/dedup.dedup_normalized). The corpus
+# has no planted trivial variants, so the query derives them (every 10th
+# doc gets an UPPERCASED + re-punctuated twin with a shifted id) — the
+# derived-fixture device again; the twins MUST collapse onto their source.
+
+def q_dedup_normalized(spark, sf_dir):
+    from .operators.dedup import dedup_normalized
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    twins = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!!")).alias("text"),
+    )
+    return dedup_normalized(d.unionByName(twins))
+
+
+SQL_DEDUP_NORMALIZED = """
+WITH fixture AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, upper(text) || ' !!!' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+keyed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5(regexp_replace(
+             regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g')) AS k
+  FROM fixture
+),
+canon AS (SELECT k, min(doc_id) AS canon_id FROM keyed GROUP BY k)
+SELECT keyed.doc_id, canon.canon_id,
+       keyed.doc_id <> canon.canon_id AS is_dup
+FROM keyed JOIN canon USING (k)
+"""

@@ -308,3 +308,33 @@ def boilerplate_lines(df: DataFrame, min_df: int = 3,
         .select("doc_id", F.col("n_lines").cast("long").alias("n_lines"),
                 F.col("n_boiler").cast("long").alias("n_boiler"), "clean_hash")
     )
+
+
+def dedup_normalized(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canon_id, is_dup): exact dedup under CCNet-style text
+    normalization — lowercase, collapse whitespace, strip everything
+    outside [a-z0-9 ] — so trivially-mutated copies (case, punctuation,
+    spacing) collapse onto one canonical doc (min doc_id per group). Raw
+    sha dedup (dedup_exact) misses these; near-dup (MinHash) is overkill
+    for them. The normalization is an explicit character class, not a
+    locale/\\p{P}-dependent one, so any engine reproduces the key.
+
+    100 TB shape: one narrow key computation fused into the scan, ONE
+    min-agg shuffle on the md5 key, one broadcast-or-shuffle join back to
+    tag members. No collect, no windows."""
+    key = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                             "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    keyed = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                      key.alias("k"))
+    canon = keyed.groupBy("k").agg(F.min("doc_id").alias("canon_id"))
+    return (
+        keyed.join(canon, "k")
+        .select("doc_id", "canon_id",
+                (F.col("doc_id") != F.col("canon_id")).alias("is_dup"))
+    )

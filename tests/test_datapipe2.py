@@ -295,3 +295,18 @@ def test_winnow_fingerprint_planted(spark):
     assert by[0]["fp_hash"] == hashlib.md5(",".join(s0).encode()).hexdigest()
     assert by[1]["fp_hash"] == hashlib.md5(",".join(s1).encode()).hexdigest()
     assert by[0]["n_selected"] == len(s0)
+
+
+def test_dedup_normalized_planted(spark):
+    from ht_ner_spark.operators.dedup import dedup_normalized
+
+    docs = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "HELLO WORLD."),
+         (4, "different text entirely")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_normalized(docs).collect()}
+    assert out[1]["canon_id"] == 1 and not out[1]["is_dup"]
+    assert out[2]["canon_id"] == 1 and out[2]["is_dup"]
+    assert out[3]["canon_id"] == 1 and out[3]["is_dup"]
+    assert out[4]["canon_id"] == 4 and not out[4]["is_dup"]
