@@ -2095,6 +2095,8 @@ def queries() -> dict:
         "winnow_fingerprint": q_winnow_fingerprint,
         "random_walks": q_random_walks,
         "dedup_normalized": q_dedup_normalized,
+        "kcore": q_kcore,
+        "ppr": q_ppr,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2191,6 +2193,8 @@ def oracle_sql() -> dict:
         "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
         "random_walks": _sql_random_walks(),
         "dedup_normalized": SQL_DEDUP_NORMALIZED,
+        "kcore": _sql_kcore(),
+        "ppr": _sql_ppr(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -4020,4 +4024,97 @@ canon AS (SELECT k, min(doc_id) AS canon_id FROM keyed GROUP BY k)
 SELECT keyed.doc_id, canon.canon_id,
        keyed.doc_id <> canon.canon_id AS is_dup
 FROM keyed JOIN canon USING (k)
+"""
+
+
+# ===========================================================================
+# 90. k-core decomposition (operators/graph.kcore): fixed synchronous
+# peeling rounds over the undirected KG, oracle-unrolled.
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def q_kcore(spark, sf_dir):
+    from .operators.graph import kcore
+
+    return kcore(q_kg_pipeline_triples(spark, sf_dir),
+                 k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _sql_kcore() -> str:
+    rounds = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""d{i} AS (
+  SELECT e.src, count(*) AS deg
+  FROM e JOIN a{i - 1} x ON e.src = x.node JOIN a{i - 1} y ON e.dst = y.node
+  GROUP BY e.src),
+a{i} AS (SELECT src AS node FROM d{i} WHERE deg >= {KCORE_K})""")
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH t AS ({_sql_kg_pipeline()}),
+e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+a0 AS (SELECT DISTINCT src AS node FROM e),
+{rounds_sql}
+SELECT src AS node, CAST(deg AS BIGINT) AS deg
+FROM d{KCORE_ROUNDS} WHERE deg >= {KCORE_K}
+"""
+
+
+# ===========================================================================
+# 91. Personalized PageRank from the khop seeds (operators/graph.
+# personalized_pagerank): the RAG context ranker — khop gives the ball,
+# PPR orders it. Same fixed-round unroll device as pagerank_topk.
+
+def q_ppr(spark, sf_dir):
+    from .operators.graph import personalized_pagerank
+    from .operators.rank import exact_global_rank
+
+    pr = personalized_pagerank(
+        q_kg_pipeline_triples(spark, sf_dir), KHOP_SEEDS
+    ).select("node", F.round("pr", 6).alias("pr"))
+    return (
+        exact_global_rank(pr, [F.desc("pr"), F.asc("node")], "rank")
+        .where(F.col("rank") <= PR_TOP_K)
+        .select("node", F.col("pr").cast("double").alias("pr"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _sql_ppr() -> str:
+    from .operators.graph import PR_DAMPING, PR_ITERS
+
+    base = 1.0 - PR_DAMPING
+    seeds = ", ".join(f"('{s}')" for s in KHOP_SEEDS)
+    rounds = []
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(f"""r{i} AS (
+  SELECT n.node,
+         CAST({base!r} AS DOUBLE) * n.seed
+           + CAST({PR_DAMPING!r} AS DOUBLE)
+             * coalesce(c.s, CAST(0 AS DOUBLE)) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr / d.outdeg) AS s
+    FROM e JOIN deg d ON e.src = d.src JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst) c ON n.node = c.node)""")
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH t AS ({_sql_kg_pipeline()}),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+sd AS (SELECT node FROM (VALUES {seeds}) s(node)),
+nodes AS (
+  SELECT n.node,
+         CASE WHEN sd.node IS NOT NULL THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS seed
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+  LEFT JOIN sd ON n.node = sd.node
+),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, seed AS pr FROM nodes),
+{rounds_sql}
+SELECT node, CAST(round(pr, 6) AS DOUBLE) AS pr,
+       CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, node ASC)
+            AS BIGINT) AS rank
+FROM r{PR_ITERS} QUALIFY rank <= {PR_TOP_K}
 """

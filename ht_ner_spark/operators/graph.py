@@ -373,3 +373,75 @@ def random_walks(triples: DataFrame, walks_per_node: int = 2,
         )
     return walks.select("node", F.col("wid").cast("int").alias("wid"),
                         "path")
+
+
+def kcore(triples: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """(node, deg): nodes surviving ``rounds`` synchronous k-core peeling
+    rounds over the undirected KG (each round removes every node whose
+    degree among CURRENT survivors is < k), with their within-core degree
+    at the final round. Fixed synchronous rounds (not run-to-fixpoint) so
+    the contract oracle unrolls identical SQL rounds; at web scale the
+    caller raises ``rounds`` until the Observation-counted removals hit 0
+    (the components.py convergence pattern).
+
+    100 TB shape: per round one semi-join of the (loop-invariant,
+    localCheckpointed) edge frame against the survivor set on EACH
+    endpoint + one degree agg — all keyed on node."""
+    e = triples.select(F.col("subj").alias("src"),
+                       F.col("obj").alias("dst")).distinct()
+    sym = (e.unionAll(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct()
+           .localCheckpoint())
+    alive = sym.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(rounds):
+        e2 = (
+            sym.join(alive.withColumnRenamed("node", "src"), "src", "semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
+        )
+        deg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = (deg.where(F.col("deg") >= k)
+                 .select(F.col("src").alias("node")).localCheckpoint())
+    return (
+        deg.where(F.col("deg") >= k)
+        .select(F.col("src").alias("node"),
+                F.col("deg").cast("long").alias("deg"))
+    )
+
+
+def personalized_pagerank(triples: DataFrame, seeds: list[str],
+                          iters: int = PR_ITERS,
+                          damping: float = PR_DAMPING) -> DataFrame:
+    """(node, pr): fixed-round personalized PageRank — the restart mass
+    lands on ``seeds`` only (r' = (1-d)*1[seed] + d * sum r(u)/outdeg(u)),
+    so scores rank entities by relevance TO THE SEED SET. This is the
+    RAG context ranker: given a query's entities as seeds, the top-PPR
+    nodes are the subgraph worth retrieving (khop gives the candidate
+    ball; PPR orders it).
+
+    Same iteration shape and scale posture as ``pagerank`` (one edge⋈ranks
+    join + one dst-keyed agg per round, loop-invariant frame checkpointed);
+    seeds ship as a plan literal."""
+    e = triples.select(F.col("subj").alias("src"),
+                       F.col("obj").alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select("dst")).distinct())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    src_edges = e.join(deg, "src").localCheckpoint()
+    nodes = nodes.localCheckpoint()
+    seed_ind = F.when(F.col("node").isin(*seeds), 1.0).otherwise(0.0)
+    ranks = nodes.withColumn("pr", seed_ind)
+    for _ in range(iters):
+        contribs = (
+            src_edges.join(ranks, src_edges.src == ranks.node)
+            .select(F.col("dst").alias("node"),
+                    (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(1.0 - damping) * seed_ind
+             + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+             ).alias("pr"),
+        )
+    return ranks

@@ -184,3 +184,32 @@ def test_random_walks_planted(spark):
     assert out[("a", 0)].startswith("a->b->")
     # all walks have full length
     assert all(p.count("->") == 2 for p in out.values())
+
+
+def test_kcore_planted(spark):
+    from ht_ner_spark.operators.graph import kcore
+
+    # triangle a-b-c (2-core) plus a pendant chain c-d-e (peels off)
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("a", "p", "c"),
+         ("c", "p", "d"), ("d", "p", "e")],
+        "subj string, pred string, obj string",
+    )
+    out = {r["node"]: r["deg"] for r in kcore(t, k=2, rounds=3).collect()}
+    # e peels round 1, d peels round 2; the triangle survives with deg 2
+    assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_personalized_pagerank_planted(spark):
+    from ht_ner_spark.operators.graph import personalized_pagerank
+
+    # star: seed s -> x, y; unrelated z -> w gets zero mass
+    t = spark.createDataFrame(
+        [("s", "p", "x"), ("s", "p", "y"), ("z", "p", "w")],
+        "subj string, pred string, obj string",
+    )
+    out = {r["node"]: r["pr"]
+           for r in personalized_pagerank(t, ["s"], iters=2).collect()}
+    assert out["s"] > 0                      # restart mass stays on seed
+    assert abs(out["x"] - out["y"]) < 1e-12  # symmetric children
+    assert out["x"] > 0 and out["z"] == 0.0 and out["w"] == 0.0
