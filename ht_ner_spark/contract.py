@@ -2097,6 +2097,7 @@ def queries() -> dict:
         "dedup_normalized": q_dedup_normalized,
         "kcore": q_kcore,
         "ppr": q_ppr,
+        "hll_distinct": q_hll_distinct,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2195,6 +2196,7 @@ def oracle_sql() -> dict:
         "dedup_normalized": SQL_DEDUP_NORMALIZED,
         "kcore": _sql_kcore(),
         "ppr": _sql_ppr(),
+        "hll_distinct": SQL_HLL_DISTINCT,
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -4117,4 +4119,85 @@ SELECT node, CAST(round(pr, 6) AS DOUBLE) AS pr,
        CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, node ASC)
             AS BIGINT) AS rank
 FROM r{PR_ITERS} QUALIFY rank <= {PR_TOP_K}
+"""
+
+
+# ===========================================================================
+# 92. Deterministic HyperLogLog (operators/textstats.hll_distinct): per-
+# source distinct TRIGRAM count, exact vs sketch with reported error. The
+# md5 hash domain + instr hex decoding make the registers bit-identical in
+# any engine (Spark/DuckDB's own approx sketches are engine-private and
+# cannot be cross-checked; this one is oracle-paired like everything else).
+
+def q_hll_distinct(spark, sf_dir):
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    tg = (
+        _docs(spark, sf_dir)
+        .select("source", toks.alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("source", F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+        )).alias("v"))
+    )
+    return ts.hll_distinct(tg, "source", "v")
+
+
+SQL_HLL_DISTINCT = """
+WITH base AS (
+  SELECT source,
+         [w FOR w IN string_split_regex(lower(trim(text)), '\\s+')
+          IF w <> ''] AS toks
+  FROM documents
+),
+tg AS (
+  SELECT source, array_to_string(toks[i + 1 : i + 3], ' ') AS v
+  FROM (SELECT source, toks, unnest(range(0, len(toks) - 2)) AS i
+        FROM base WHERE len(toks) >= 3)
+),
+h AS (SELECT source, v, md5(v) AS hx FROM tg),
+r AS (
+  SELECT source, v,
+         (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS bucket,
+         length(regexp_extract(substring(hx, 3, 30), '^(0*)', 1)) AS zlen,
+         substring(hx, 3, 30) AS rest
+  FROM h
+),
+rho AS (
+  SELECT source, v, bucket,
+         zlen * 4
+         + CASE WHEN f >= 8 THEN 0 WHEN f >= 4 THEN 1
+                WHEN f >= 2 THEN 2 ELSE 3 END
+         + 1 AS rho
+  FROM (SELECT *,
+               strpos('0123456789abcdef',
+                      substring(rest || 'f', zlen + 1, 1)) - 1 AS f
+        FROM r)
+),
+regs AS (SELECT source, bucket, max(rho) AS mr FROM rho GROUP BY source, bucket),
+folded AS (
+  SELECT source,
+         sum(power(2.0, -mr)) + (256 - count(*)) AS s,
+         256 - count(*) AS zeros
+  FROM regs GROUP BY source
+),
+est AS (
+  SELECT source,
+         CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / s <= 640
+                   AND zeros > 0
+              THEN 256 * ln(256.0 / zeros)
+              ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / s
+         END AS e
+  FROM folded
+),
+exact AS (SELECT source, count(DISTINCT v) AS exact_distinct FROM tg GROUP BY source)
+SELECT exact.source,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       round(e, 2) AS hll_estimate,
+       round(abs(round(e, 2) - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM exact JOIN est ON exact.source = est.source
 """

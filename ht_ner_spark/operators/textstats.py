@@ -567,3 +567,75 @@ def winnow_fingerprint(df: DataFrame, k: int = 3, w: int = 4,
         F.size("sel").cast("long").alias("n_selected"),
         F.md5(F.concat_ws(",", F.col("sel"))).alias("fp_hash"),
     )
+
+
+# HyperLogLog on a deterministic md5 hash domain: the sketch the task's
+# "novel sketch" slot asks for, built so ANY engine computes bit-identical
+# registers (Spark's approx_count_distinct and DuckDB's approx sketches are
+# engine-private and cannot be cross-checked; this one can).
+HLL_P = 8                                   # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)    # Flajolet et al. 2007
+_HEX = "0123456789abcdef"
+
+
+def _hexval(c: Column) -> Column:
+    """hex digit -> 0..15 via instr on a literal alphabet — the same
+    construction the DuckDB oracle uses (strpos), so no conv()/parsing
+    semantics can drift between engines."""
+    return F.instr(F.lit(_HEX), c) - 1
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(group, exact_distinct, hll_estimate, rel_err): per-group distinct
+    count, exact AND via a deterministic HyperLogLog (p=8, md5 hash domain,
+    Flajolet-Fuster-Gandouet-Meunier 2007 with the small-range linear-
+    counting correction). Exact is co-computed so the sketch's error is
+    REPORTED next to it — at 100 TB the exact branch is dropped and the
+    sketch is the product.
+
+    100 TB shape: one (group, bucket) max-agg — 256 rows per group
+    regardless of cardinality, the whole point — then one group-keyed
+    fold. The exact branch is the expensive distinct (one extra shuffle)
+    and exists here for the error report / oracle check."""
+    h = F.md5(F.col(value_col).cast("string"))
+    bucket = (_hexval(F.substring(h, 1, 1)) * 16
+              + _hexval(F.substring(h, 2, 1)))
+    rest = F.substring(h, 3, 30)
+    zlen = F.length(F.regexp_extract(rest, "^(0*)", 1))
+    first = _hexval(F.substring(
+        F.concat(rest, F.lit("f")), zlen + 1, 1))  # pad: all-zero rest
+    lead_in_digit = (
+        F.when(first >= 8, 0).when(first >= 4, 1).when(first >= 2, 2)
+        .otherwise(3)
+    )
+    rho = (zlen * 4 + lead_in_digit + 1).alias("rho")
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(value_col).alias("v"),
+                     bucket.alias("bucket"), rho)
+    regs = base.groupBy("grp", "bucket").agg(F.max("rho").alias("mr"))
+    folded = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s_present"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    m = float(HLL_M)
+    s = F.col("s_present") + (F.lit(m) - F.col("present"))
+    e_raw = F.lit(HLL_ALPHA * m * m) / s
+    zeros = F.lit(m) - F.col("present")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(m) / zeros),
+    ).otherwise(e_raw)
+    sketch = folded.select("grp", F.round(est, 2).alias("hll_estimate"))
+    exact = base.groupBy("grp").agg(
+        F.count_distinct("v").alias("exact_distinct"))
+    return (
+        exact.join(sketch, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            "hll_estimate",
+            F.round(F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                    / F.col("exact_distinct"), 4).alias("rel_err"),
+        )
+    )

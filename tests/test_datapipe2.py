@@ -310,3 +310,22 @@ def test_dedup_normalized_planted(spark):
     assert out[2]["canon_id"] == 1 and out[2]["is_dup"]
     assert out[3]["canon_id"] == 1 and out[3]["is_dup"]
     assert out[4]["canon_id"] == 4 and not out[4]["is_dup"]
+
+
+def test_hll_distinct_accuracy(spark):
+    from ht_ner_spark.operators.textstats import hll_distinct
+
+    # 5000 distinct values in one group, 30 in another (exercises both the
+    # raw-estimate and linear-counting branches); p=8 -> ~6.5% typical err
+    rows = [("big", f"value-{i}") for i in range(5000)] * 2
+    rows += [("small", f"v{i % 30}") for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = {r["grp"]: r for r in hll_distinct(df, "grp", "v").collect()}
+    assert out["big"]["exact_distinct"] == 5000
+    assert out["big"]["rel_err"] < 0.15          # 3 sigma at p=8
+    assert out["small"]["exact_distinct"] == 30
+    assert out["small"]["rel_err"] < 0.25        # linear-counting regime
+    # determinism: same input -> bit-identical estimate
+    again = {r["grp"]: r["hll_estimate"]
+             for r in hll_distinct(df, "grp", "v").collect()}
+    assert again["big"] == out["big"]["hll_estimate"]
