@@ -2098,6 +2098,7 @@ def queries() -> dict:
         "kcore": q_kcore,
         "ppr": q_ppr,
         "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2197,6 +2198,7 @@ def oracle_sql() -> dict:
         "kcore": _sql_kcore(),
         "ppr": _sql_ppr(),
         "hll_distinct": SQL_HLL_DISTINCT,
+        "cms_heavy_hitters": _sql_cms(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -4200,4 +4202,66 @@ SELECT exact.source,
        round(e, 2) AS hll_estimate,
        round(abs(round(e, 2) - exact_distinct) / exact_distinct, 4) AS rel_err
 FROM exact JOIN est ON exact.source = est.source
+"""
+
+
+# ===========================================================================
+# 93. Count-Min heavy hitters (operators/textstats.cms_heavy_hitters) over
+# the per-source trigram stream's global top-10. Pure integer math on the
+# salted md5 domain — zero float surface.
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    tg = (
+        _docs(spark, sf_dir)
+        .select(toks.alias("toks")).where(F.size("toks") >= 3)
+        .select(F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+        )).alias("v"))
+    )
+    return ts.cms_heavy_hitters(tg, "v")
+
+
+def _sql_cms() -> str:
+    from .operators.textstats import CMS_D
+
+    col_exprs = " UNION ALL ".join(
+        f"""SELECT v, {r} AS r,
+ (strpos('0123456789abcdef',
+         substring(md5('{r}' || chr(31) || v), 1, 1)) - 1) * 16
+ + (strpos('0123456789abcdef',
+           substring(md5('{r}' || chr(31) || v), 2, 1)) - 1) AS c
+ FROM tg""" for r in range(CMS_D))
+    return f"""
+WITH base AS (
+  SELECT [w FOR w IN string_split_regex(lower(trim(text)), '\\s+')
+          IF w <> ''] AS toks
+  FROM documents
+),
+tg AS (
+  SELECT array_to_string(toks[i + 1 : i + 3], ' ') AS v
+  FROM (SELECT toks, unnest(range(0, len(toks) - 2)) AS i
+        FROM base WHERE len(toks) >= 3)
+),
+rc AS ({col_exprs}),
+cells AS (SELECT r, c, count(*) AS n FROM rc GROUP BY r, c),
+exact AS (SELECT v, count(*) AS exact_n FROM tg GROUP BY v),
+probes AS (
+  SELECT v, exact_n FROM (
+    SELECT *, row_number() OVER (ORDER BY exact_n DESC, v) AS rank
+    FROM exact) WHERE rank <= 10
+),
+probe_cells AS (
+  SELECT p.v, p.exact_n, rc.r, rc.c
+  FROM probes p JOIN (SELECT DISTINCT v, r, c FROM rc) rc ON p.v = rc.v
+)
+SELECT pc.v, CAST(pc.exact_n AS BIGINT) AS exact_n,
+       CAST(min(cells.n) AS BIGINT) AS cms_est,
+       CAST(min(cells.n) - pc.exact_n AS BIGINT) AS over
+FROM probe_cells pc JOIN cells ON pc.r = cells.r AND pc.c = cells.c
+GROUP BY pc.v, pc.exact_n
 """

@@ -639,3 +639,62 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
                     / F.col("exact_distinct"), 4).alias("rel_err"),
         )
     )
+
+
+CMS_W = 256      # columns per row (2 hex chars of the salted md5)
+CMS_D = 4        # hash rows
+
+
+def cms_heavy_hitters(df: DataFrame, value_col: str, k: int = 10
+                      ) -> DataFrame:
+    """(v, exact_n, cms_est, over): Count-Min Sketch frequency estimates
+    (Cormode & Muthukrishnan 2005; d=4 salted md5 rows x w=256 columns)
+    for the exact top-``k`` heavy hitters, with the exact count and the
+    overestimate co-reported. CMS never underestimates (min over rows of
+    a sum that includes the true count) — the invariant the test pins.
+    Everything is INTEGER math on a deterministic hash domain: the sketch
+    is bit-identical in any engine, no float drift possible.
+
+    100 TB shape: sketch state is d*w = 1024 cells total regardless of
+    cardinality — one (row, col) sum-agg over the stream (map-side
+    combine does almost all of it; 1024 groups). The exact branch (top-k
+    + counts) exists for the error report; a 100 TB deployment keeps only
+    the cell agg and probes it."""
+    from .rank import exact_global_rank
+
+    def col_for(r: int) -> Column:
+        h = F.md5(F.concat_ws("\x1f", F.lit(str(r)), F.col("v")))
+        return (_hexval(F.substring(h, 1, 1)) * 16
+                + _hexval(F.substring(h, 2, 1)))
+
+    vals = df.select(F.col(value_col).alias("v"))
+    cells = (
+        vals.select(F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"), col_for(r).alias("c"))
+            for r in range(CMS_D)
+        ])).alias("rc"))
+        .select("rc.r", "rc.c")
+        .groupBy("r", "c").agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = vals.groupBy("v").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = (
+        exact_global_rank(exact, [F.desc("exact_n"), F.asc("v")], "rank")
+        .where(F.col("rank") <= k).drop("rank")
+    )
+    probe_cells = probes.select(
+        "v", "exact_n",
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"), col_for(r).alias("c"))
+            for r in range(CMS_D)
+        ])).alias("rc"),
+    ).select("v", "exact_n", "rc.r", "rc.c")
+    return (
+        probe_cells.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("v", "exact_n")
+        .agg(F.min("n").alias("cms_est"))
+        .select(
+            "v", F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_n")).cast("long").alias("over"),
+        )
+    )

@@ -329,3 +329,18 @@ def test_hll_distinct_accuracy(spark):
     again = {r["grp"]: r["hll_estimate"]
              for r in hll_distinct(df, "grp", "v").collect()}
     assert again["big"] == out["big"]["hll_estimate"]
+
+
+def test_cms_heavy_hitters_planted(spark):
+    from ht_ner_spark.operators.textstats import cms_heavy_hitters
+
+    rows = [("hot",)] * 500 + [("warm",)] * 100 \
+        + [(f"cold-{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string")
+    out = {r["v"]: r for r in cms_heavy_hitters(df, "v", k=2).collect()}
+    assert set(out) == {"hot", "warm"}           # exact top-2 probes
+    assert out["hot"]["exact_n"] == 500 and out["warm"]["exact_n"] == 100
+    # the CMS invariant: never underestimates
+    assert all(r["over"] >= 0 for r in out.values())
+    # w=256, 800 items -> expected collision mass per cell ~3; generous cap
+    assert all(r["over"] <= 50 for r in out.values())
