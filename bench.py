@@ -56,6 +56,21 @@ HEADLINE = [
     "dedup_exact",
 ]
 
+# round-3 additions, timed into their own section (NOT the headline value:
+# the headline list is pinned since round 2 for cross-round comparability).
+EXTRA_OPS = [
+    "chunk_documents",
+    "inverted_index",
+    "winnow_fingerprint",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "boilerplate_lines",
+    "dedup_normalized",
+    "adamic_adar",
+    "random_walks",
+    "trending_events",
+]
+
 # 600k rows: large enough that the pipeline's fixed multi-job floor (stage
 # scheduling, tiny s2/s3 frames — profiled ~15 s in a degraded window, ~5 s
 # quiet) is small against the parallel stage-1/stage-4 work, small enough
@@ -886,6 +901,20 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # round-3 extra ops: timed AFTER the pinned headline loop so they can
+    # never perturb it; recorded in their own artifact section.
+    extra_timings: dict[str, float] = {}
+    for name in EXTRA_OPS:
+        fn = qmap.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        try:
+            fn(spark, sf_dir).count()
+            extra_timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - extras must not sink bench
+            sys.stderr.write(f"extra op {name} failed: {exc}\n")
+
     # in-session pipeline timing (modest size; the session's core count is
     # whatever the driver chose, which may oversubscribe JVM+Python threads —
     # the authoritative throughput comes from the scaling runs below). The
@@ -935,6 +964,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra_timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": cores,
         "suite_host": suite_host,
