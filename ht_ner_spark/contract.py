@@ -2099,6 +2099,8 @@ def queries() -> dict:
         "ppr": q_ppr,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
         "token_classify": q_token_classify,
         # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
         "media_features": q_media_features,
@@ -2199,6 +2201,8 @@ def oracle_sql() -> dict:
         "ppr": _sql_ppr(),
         "hll_distinct": SQL_HLL_DISTINCT,
         "cms_heavy_hitters": _sql_cms(),
+        "cohort_retention": SQL_COHORT_RETENTION,
+        "funnel": _sql_funnel(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -4264,4 +4268,84 @@ SELECT pc.v, CAST(pc.exact_n AS BIGINT) AS exact_n,
        CAST(min(cells.n) - pc.exact_n AS BIGINT) AS over
 FROM probe_cells pc JOIN cells ON pc.r = cells.r AND pc.c = cells.c
 GROUP BY pc.v, pc.exact_n
+"""
+
+
+# ===========================================================================
+# 94. Cohort retention (operators/eventstats.cohort_retention): first-seen-
+# day cohorts, activity at day offsets 0..7; days cross engines as epoch
+# days.
+
+def q_cohort_retention(spark, sf_dir):
+    from .operators.eventstats import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev)
+
+
+SQL_COHORT_RETENTION = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(ts AS DATE) - DATE '1970-01-01' AS d
+  FROM events
+),
+cohorts AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY user_id),
+sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM cohorts
+          GROUP BY cohort_day),
+act AS (
+  SELECT cohort_day, d - cohort_day AS off, count(*) AS n_active
+  FROM ud JOIN cohorts USING (user_id)
+  WHERE d - cohort_day BETWEEN 0 AND 7
+  GROUP BY cohort_day, off
+)
+SELECT CAST(act.cohort_day AS INT) AS cohort_day,
+       CAST(off AS INT) AS day_offset,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       CAST(n_active AS BIGINT) AS n_active,
+       round(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention
+FROM act JOIN sizes ON act.cohort_day = sizes.cohort_day
+"""
+
+
+# ===========================================================================
+# 95. Strict-order funnel (operators/eventstats.funnel). conv_rate uses an
+# INTEGER half-up formula in both engines (Python's round() is banker's;
+# SQL's is half-away — the integer form sidesteps both).
+
+def q_funnel(spark, sf_dir):
+    from .operators.eventstats import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev)
+
+
+def _sql_funnel() -> str:
+    from .operators.eventstats import FUNNEL_STEPS as S
+
+    return f"""
+WITH base AS (
+  SELECT user_id, event_type AS et, epoch_us(ts) AS us FROM events
+),
+s1 AS (SELECT user_id, min(us) AS t FROM base WHERE et = '{S[0]}'
+       GROUP BY user_id),
+s2 AS (SELECT b.user_id, min(b.us) AS t FROM base b
+       JOIN s1 ON b.user_id = s1.user_id
+       WHERE b.et = '{S[1]}' AND b.us > s1.t GROUP BY b.user_id),
+s3 AS (SELECT b.user_id, min(b.us) AS t FROM base b
+       JOIN s2 ON b.user_id = s2.user_id
+       WHERE b.et = '{S[2]}' AND b.us > s2.t GROUP BY b.user_id),
+s4 AS (SELECT b.user_id, min(b.us) AS t FROM base b
+       JOIN s3 ON b.user_id = s3.user_id
+       WHERE b.et = '{S[3]}' AND b.us > s3.t GROUP BY b.user_id),
+n AS (SELECT (SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3, (SELECT count(*) FROM s4) AS n4)
+SELECT CAST(step AS INT) AS step, name, CAST(n_users AS BIGINT) AS n_users,
+       CAST((n_users * 20000 + n1) // (2 * n1) AS DOUBLE) / 10000
+         AS conv_rate
+FROM (
+  SELECT 1 AS step, '{S[0]}' AS name, n1 AS n_users, n1 FROM n
+  UNION ALL SELECT 2, '{S[1]}', n2, n1 FROM n
+  UNION ALL SELECT 3, '{S[2]}', n3, n1 FROM n
+  UNION ALL SELECT 4, '{S[3]}', n4, n1 FROM n
+)
 """

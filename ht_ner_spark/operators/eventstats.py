@@ -86,3 +86,88 @@ def props_profile(df: DataFrame, key: str = "k",
             .alias("avg_value"),
         )
     )
+
+
+def cohort_retention(df: DataFrame, max_offset: int = 7,
+                     ts_col: str = "ts", user_col: str = "user_id"
+                     ) -> DataFrame:
+    """(cohort_day, day_offset, cohort_size, n_active, retention): classic
+    cohort-retention table — users grouped by first-seen day, activity
+    counted at day offsets 0..``max_offset``. Days cross engines as epoch
+    days (integers), the session_windows convention.
+
+    100 TB shape: one user-keyed min-agg for cohorts (user-dimension
+    sized), one broadcastable join back onto the distinct (user, day)
+    activity frame, one (cohort, offset) agg. Nothing is corpus-scale
+    after the first distinct."""
+    day = F.unix_date(F.to_date(F.col(ts_col).cast("timestamp")))
+    ud = df.select(F.col(user_col).alias("user_id"),
+                   day.alias("d")).distinct()
+    cohorts = ud.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    act = (
+        ud.join(cohorts, "user_id")
+        .select("cohort_day", (F.col("d") - F.col("cohort_day")).alias("off"))
+        .where((F.col("off") >= 0) & (F.col("off") <= max_offset))
+        .groupBy("cohort_day", "off")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.col("cohort_day").cast("int").alias("cohort_day"),
+            F.col("off").cast("int").alias("day_offset"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(F.col("n_active") / F.col("cohort_size"), 4)
+            .alias("retention"),
+        )
+    )
+
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def funnel(df: DataFrame, steps: list[str] | None = None,
+           ts_col: str = "ts", user_col: str = "user_id",
+           type_col: str = "event_type") -> DataFrame:
+    """(step, name, n_users, conv_rate): strict-order funnel — a user
+    reaches step i when their earliest step-i event STRICTLY AFTER their
+    step-(i-1) completion time exists. conv_rate is vs step 1.
+
+    100 TB shape: one (user, step) min-ts agg over the filtered stream,
+    then |steps|-1 user-keyed join rounds over user-dimension-sized
+    frames (the corpus is touched once). Timestamps compare as epoch
+    micros."""
+    steps = steps or FUNNEL_STEPS
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(user_col).alias("user_id"),
+                     F.col(type_col).alias("et"), us.alias("us"))
+    mins = (
+        base.where(F.col("et").isin(*steps))
+        .groupBy("user_id", "et").agg(F.min("us").alias("first_us"))
+    )
+    reached = (
+        mins.where(F.col("et") == steps[0])
+        .select("user_id", F.col("first_us").alias("t"))
+    )
+    counts = [reached.count()]
+    for nxt in steps[1:]:
+        nxt_ev = (
+            base.where(F.col("et") == nxt)
+            .join(reached, "user_id")
+            .where(F.col("us") > F.col("t"))
+            .groupBy("user_id").agg(F.min("us").alias("t2"))
+        )
+        reached = nxt_ev.select("user_id", F.col("t2").alias("t"))
+        counts.append(reached.count())
+    spark = df.sparkSession
+    # integer half-up ratio: Python round() is banker's, SQL round is
+    # half-away — this form is identical everywhere
+    rows = [(i + 1, steps[i], counts[i],
+             ((counts[i] * 20000 + counts[0]) // (2 * counts[0])) / 1e4
+             if counts[0] else 0.0)
+            for i in range(len(steps))]
+    return spark.createDataFrame(
+        rows, "step int, name string, n_users long, conv_rate double")

@@ -344,3 +344,37 @@ def test_cms_heavy_hitters_planted(spark):
     assert all(r["over"] >= 0 for r in out.values())
     # w=256, 800 items -> expected collision mass per cell ~3; generous cap
     assert all(r["over"] <= 50 for r in out.values())
+
+
+def test_cohort_and_funnel_planted(spark):
+    from datetime import datetime
+
+    from ht_ner_spark.operators.eventstats import cohort_retention, funnel
+
+    def t(d, h=0):
+        return datetime(2024, 1, d, h)
+
+    ev = spark.createDataFrame(
+        # u1: full funnel in order across day 1-2; active days 1,2
+        [(1, t(1, 1), "signup"), (1, t(1, 2), "view"), (1, t(2, 1), "click"),
+         (1, t(2, 2), "purchase"),
+         # u2: signs up day 1, views day 1, never clicks; active day 1 only
+         (2, t(1, 3), "signup"), (2, t(1, 4), "view"),
+         # u3: first seen day 2, purchase BEFORE signup (order violated)
+         (3, t(2, 1), "purchase"), (3, t(2, 3), "signup"), (3, t(2, 4), "view"),
+         (3, t(2, 5), "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    ret = {(r["cohort_day"], r["day_offset"]): r
+           for r in cohort_retention(ev).collect()}
+    d1 = (datetime(2024, 1, 1) - datetime(1970, 1, 1)).days
+    assert ret[(d1, 0)]["cohort_size"] == 2 and ret[(d1, 0)]["n_active"] == 2
+    assert ret[(d1, 1)]["n_active"] == 1 and ret[(d1, 1)]["retention"] == 0.5
+    assert ret[(d1 + 1, 0)]["cohort_size"] == 1
+
+    fun = {r["step"]: r for r in funnel(ev).collect()}
+    assert fun[1]["n_users"] == 3                  # all signed up
+    assert fun[2]["n_users"] == 3                  # all viewed after signup
+    assert fun[3]["n_users"] == 2                  # u1, u3 clicked after view
+    assert fun[4]["n_users"] == 1                  # only u1 purchased AFTER
+    assert fun[4]["conv_rate"] == 0.3333
