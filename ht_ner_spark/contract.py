@@ -2102,7 +2102,9 @@ def queries() -> dict:
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
         "token_classify": q_token_classify,
-        # rows-only (genuinely non-SQL: iterative EM; stubbed media decode):
+        # non-SQL-derivable (iterative EM; stubbed media decode) — paired
+        # against committed golden parquets since round 3, so these are
+        # full rows+schema+hash gates like everything else:
         "media_features": q_media_features,
         "hmm_entities": q_hmm_entities,
     }
