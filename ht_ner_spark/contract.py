@@ -2101,6 +2101,7 @@ def queries() -> dict:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
+        "bloom_screen": q_bloom_screen,
         "token_classify": q_token_classify,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
@@ -2205,6 +2206,7 @@ def oracle_sql() -> dict:
         "cms_heavy_hitters": _sql_cms(),
         "cohort_retention": SQL_COHORT_RETENTION,
         "funnel": _sql_funnel(),
+        "bloom_screen": _sql_bloom_screen(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -4350,4 +4352,69 @@ FROM (
   UNION ALL SELECT 3, '{S[2]}', n3, n1 FROM n
   UNION ALL SELECT 4, '{S[3]}', n4, n1 FROM n
 )
+"""
+
+
+# ===========================================================================
+# 96. Bloom-filter decontamination screen (operators/textstats.bloom_screen)
+# over the decontam eval slice. Completes the sketch trio (HLL cardinality,
+# CMS frequency, Bloom membership) — all deterministic, all oracle-paired.
+
+def q_bloom_screen(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    corpus = d.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    return ts.bloom_screen(corpus, ev, n=DECONTAM_N)
+
+
+def _sql_bloom_screen() -> str:
+    from .operators.textstats import BLOOM_K, BLOOM_M
+
+    def pos_expr(r: str, v: str) -> str:
+        h = f"md5('{r}' || chr(31) || {v})"
+        return (
+            f"((strpos('0123456789abcdef', substring({h}, 1, 1)) - 1) * 256"
+            f" + (strpos('0123456789abcdef', substring({h}, 2, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substring({h}, 3, 1)) - 1))"
+            f" % {BLOOM_M}"
+        )
+
+    bit_sel = " UNION ALL ".join(
+        f"SELECT {pos_expr(str(r), 'v')} AS pos FROM eg"
+        for r in range(BLOOM_K))
+    probe_sel = " UNION ALL ".join(
+        f"SELECT doc_id, v, {r} AS r, {pos_expr(str(r), 'v')} AS pos FROM cg"
+        for r in range(BLOOM_K))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         [w FOR w IN string_split_regex(lower(trim(text)), '\\s+')
+          IF w <> ''] AS toks
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + {DECONTAM_N}], ' ') AS v
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - {DECONTAM_N - 1})) AS i
+        FROM base WHERE len(toks) >= {DECONTAM_N})
+),
+cg AS (SELECT doc_id, v FROM grams WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0),
+eg AS (SELECT DISTINCT v FROM grams WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+bits AS (SELECT DISTINCT pos FROM ({bit_sel})),
+probe AS ({probe_sel}),
+hits AS (
+  SELECT doc_id, v FROM probe JOIN bits USING (pos)
+  GROUP BY doc_id, v HAVING count(*) = {BLOOM_K}
+),
+bloom AS (SELECT doc_id, count(*) AS bloom_hits FROM hits GROUP BY doc_id),
+troo AS (SELECT doc_id, count(*) AS true_hits FROM cg
+         WHERE v IN (SELECT v FROM eg) GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id)
+SELECT CAST(tot.doc_id AS BIGINT) AS doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(bloom_hits, 0) AS BIGINT) AS bloom_hits,
+       CAST(coalesce(true_hits, 0) AS BIGINT) AS true_hits,
+       CAST(coalesce(bloom_hits, 0) - coalesce(true_hits, 0) AS BIGINT)
+         AS false_pos
+FROM tot LEFT JOIN bloom ON tot.doc_id = bloom.doc_id
+LEFT JOIN troo ON tot.doc_id = troo.doc_id
 """

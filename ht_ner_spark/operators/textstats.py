@@ -698,3 +698,86 @@ def cms_heavy_hitters(df: DataFrame, value_col: str, k: int = 10
             (F.col("cms_est") - F.col("exact_n")).cast("long").alias("over"),
         )
     )
+
+
+BLOOM_M = 2048   # bits
+BLOOM_K = 4      # hash functions (salted md5, 3 hex chars mod m)
+
+
+def bloom_screen(corpus: DataFrame, eval_set: DataFrame, n: int = 4,
+                 text_col: str = "text", id_col: str = "doc_id"
+                 ) -> DataFrame:
+    """(doc_id, n_grams, bloom_hits, true_hits, false_pos): Bloom-filter
+    decontamination screen — the eval set's n-grams are folded into an
+    m=2048-bit / k=4 Bloom filter (Bloom 1970) on the salted-md5 domain;
+    every corpus doc's distinct n-grams are probed. ``true_hits`` is the
+    exact membership count (co-computed), so the filter's false-positive
+    count is REPORTED per doc, and the Bloom guarantee (no false
+    negatives: bloom_hits >= true_hits) is testable. Integer/string math
+    only — the filter is bit-identical in any engine.
+
+    100 TB shape: the filter is <= m rows (bit positions) however large
+    the eval set — broadcast to every probe task; the corpus is scanned
+    once for grams and pays one doc-keyed agg. The exact branch adds the
+    broadcast eval-gram join the plain decontam query uses; a production
+    screen drops it and keeps only the O(m) state."""
+    def grams(df):
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        )
+        g = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+        )
+        return (
+            df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+            .where(F.size("toks") >= n)
+            .select("doc_id", F.explode(g).alias("v")).distinct()
+        )
+
+    def positions(col):
+        # k salted positions, each from 3 hex chars (4096) mod m
+        return F.array(*[
+            (
+                (_hexval(F.substring(F.md5(F.concat_ws("\x1f", F.lit(str(r)), col)), 1, 1)) * 256
+                 + _hexval(F.substring(F.md5(F.concat_ws("\x1f", F.lit(str(r)), col)), 2, 1)) * 16
+                 + _hexval(F.substring(F.md5(F.concat_ws("\x1f", F.lit(str(r)), col)), 3, 1)))
+                % BLOOM_M
+            ).alias(f"p{r}")
+            for r in range(BLOOM_K)
+        ])
+
+    ev_grams = grams(eval_set).select("v").distinct()
+    bits = (
+        ev_grams.select(F.explode(positions(F.col("v"))).alias("pos"))
+        .distinct()
+    )
+    cg = grams(corpus)
+    probe = cg.select(
+        "doc_id", "v", F.posexplode(positions(F.col("v"))).alias("r", "pos")
+    )
+    hit_counts = (
+        probe.join(F.broadcast(bits), "pos", "semi")
+        .groupBy("doc_id", "v").agg(F.count(F.lit(1)).alias("set_bits"))
+    )
+    bloom = (
+        hit_counts.where(F.col("set_bits") == BLOOM_K)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("bloom_hits"))
+    )
+    true_hits = (
+        cg.join(F.broadcast(ev_grams), "v", "semi")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("true_hits"))
+    )
+    totals = cg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(bloom, "doc_id", "left").join(true_hits, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("bloom_hits", F.lit(0)).cast("long").alias("bloom_hits"),
+            F.coalesce("true_hits", F.lit(0)).cast("long").alias("true_hits"),
+            (F.coalesce("bloom_hits", F.lit(0))
+             - F.coalesce("true_hits", F.lit(0))).cast("long").alias("false_pos"),
+        )
+    )

@@ -378,3 +378,22 @@ def test_cohort_and_funnel_planted(spark):
     assert fun[3]["n_users"] == 2                  # u1, u3 clicked after view
     assert fun[4]["n_users"] == 1                  # only u1 purchased AFTER
     assert fun[4]["conv_rate"] == 0.3333
+
+
+def test_bloom_screen_planted(spark):
+    from ht_ner_spark.operators.textstats import bloom_screen
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        # doc 1 contains the eval 4-gram "the quick brown fox"; doc 2 none
+        [(1, "well the quick brown fox ran away"),
+         (2, "completely unrelated words in this document here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bloom_screen(corpus, ev, n=4).collect()}
+    assert out[1]["true_hits"] >= 1
+    # Bloom guarantee: NO false negatives
+    assert out[1]["bloom_hits"] >= out[1]["true_hits"]
+    assert all(r["false_pos"] >= 0 for r in out.values())
+    assert out[2]["true_hits"] == 0
