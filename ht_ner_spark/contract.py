@@ -2102,6 +2102,8 @@ def queries() -> dict:
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
         "bloom_screen": q_bloom_screen,
+        "bm25_topk": q_bm25_topk,
+        "rrf_fusion": q_rrf_fusion,
         "token_classify": q_token_classify,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
@@ -2207,6 +2209,8 @@ def oracle_sql() -> dict:
         "cohort_retention": SQL_COHORT_RETENTION,
         "funnel": _sql_funnel(),
         "bloom_screen": _sql_bloom_screen(),
+        "bm25_topk": _sql_bm25(),
+        "rrf_fusion": _sql_rrf(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -4417,4 +4421,96 @@ SELECT CAST(tot.doc_id AS BIGINT) AS doc_id,
          AS false_pos
 FROM tot LEFT JOIN bloom ON tot.doc_id = bloom.doc_id
 LEFT JOIN troo ON tot.doc_id = troo.doc_id
+"""
+
+
+# ===========================================================================
+# 97-98. Lexical retrieval: BM25 top-k and reciprocal-rank fusion of the
+# BM25 + term-frequency rankings (operators/textstats.bm25_topk /
+# rrf_fusion). Query terms pinned from the corpus vocabulary.
+
+RETRIEVAL_QUERY = ["spark", "window", "merge"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    return ts.bm25_topk(_docs(spark, sf_dir), RETRIEVAL_QUERY, k=10)
+
+
+def _sql_bm25(pool: int | None = None) -> str:
+    from .operators.textstats import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in RETRIEVAL_QUERY)
+    kk = pool or 10
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         [w FOR w IN string_split_regex(lower(trim(text)), '\\s+')
+          IF w <> ''] AS toks
+  FROM documents
+),
+dl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(toks) AS term FROM base
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({BM25_K1!r} + 1))
+           / (tf + {BM25_K1!r}
+              * (1 - {BM25_B!r} + {BM25_B!r} * dl / avgdl))
+           * 1e6) AS BIGINT) AS s6
+  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+per_doc AS (
+  SELECT doc_id, round(sum(s6) / 1e6, 4) AS score FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM per_doc QUALIFY rank <= {kk}
+"""
+
+
+def q_rrf_fusion(spark, sf_dir):
+    return ts.rrf_fusion(_docs(spark, sf_dir), RETRIEVAL_QUERY, k=10)
+
+
+def _sql_rrf() -> str:
+    terms = ", ".join(f"'{t}'" for t in RETRIEVAL_QUERY)
+    return f"""
+WITH bm_full AS ({_sql_bm25(pool=50)}),
+bm AS (SELECT doc_id, rank AS bm25_rank FROM bm_full),
+base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+qtf AS (
+  SELECT doc_id, count(*) AS tf FROM base
+  WHERE term IN ({terms}) GROUP BY doc_id
+),
+tfr AS (
+  SELECT doc_id, rank AS tf_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY tf DESC, doc_id) AS rank
+    FROM qtf) WHERE rank <= 50
+),
+fused AS (
+  SELECT coalesce(bm.doc_id, tfr.doc_id) AS doc_id,
+         CAST(bm25_rank AS BIGINT) AS bm25_rank,
+         CAST(tf_rank AS BIGINT) AS tf_rank,
+         round(coalesce(1.0 / (bm25_rank + 60), 0)
+               + coalesce(1.0 / (tf_rank + 60), 0), 6) AS rrf
+  FROM bm FULL JOIN tfr ON bm.doc_id = tfr.doc_id
+)
+SELECT doc_id, bm25_rank, tf_rank, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+FROM fused QUALIFY rank <= 10
 """

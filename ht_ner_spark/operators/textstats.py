@@ -781,3 +781,107 @@ def bloom_screen(corpus: DataFrame, eval_set: DataFrame, n: int = 4,
              - F.coalesce("true_hits", F.lit(0))).cast("long").alias("false_pos"),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, score, rank): Okapi BM25 (Robertson et al.; Lucene idf
+    form ln((N - df + 0.5)/(df + 0.5) + 1)) top-``k`` documents for a
+    fixed term set — the lexical retrieval scorer next to the ANN path.
+    Per-term contributions land on the 1e-6 long grid before the doc sum
+    (order-proof, the repo's float convention).
+
+    100 TB shape: the corpus pays one tokenize scan; tf is a (doc, term)
+    agg over the QUERY TERMS ONLY (the filter pushes before the explode's
+    shuffle, so the agg input is corpus-sparse); df/avgdl/N ride 1-row or
+    |terms|-row broadcasts; top-k via the distributed exact rank."""
+    toks = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term")
+    pairs = df.select(F.col(id_col).cast("long").alias("doc_id"), toks)
+    dl = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "")).alias("dl"),
+    )
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    qt = pairs.where(F.col("term").isin(*query_terms))
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("n_docs") - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (F.col("tf") + BM25_K1
+                   * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+                * 1e6
+            ).cast("long").alias("s6"),
+        )
+    )
+    from .rank import exact_global_rank
+
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.sum("s6") / 1e6, 4).alias("score"))
+    return (
+        exact_global_rank(per_doc, [F.desc("score"), F.asc("doc_id")], "rank")
+        .where(F.col("rank") <= k)
+        .select("doc_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def rrf_fusion(df: DataFrame, query_terms: list[str], k: int = 10,
+               pool: int = 50, c: int = 60,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, bm25_rank, tf_rank, rrf, rank): reciprocal-rank fusion
+    (Cormack, Clarke & Buettcher 2009) of two retrieval rankings — BM25
+    and raw query-term frequency — rrf = sum over lists of 1/(c + rank),
+    missing-from-list contributes 0. RRF is THE standard way to fuse the
+    lexical and ANN legs of a retrieval stack; the two lexical legs here
+    keep the query oracle-pairable end-to-end (the fusion math is
+    identical when one leg is the ANN ranking).
+
+    100 TB shape: both legs end in pool-sized frames (exact top-``pool``),
+    so the fusion join/sort is constant-sized whatever the corpus."""
+    bm = bm25_topk(df, query_terms, k=pool, text_col=text_col,
+                   id_col=id_col).select(
+        "doc_id", F.col("rank").alias("bm25_rank"))
+    toks = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term")
+    qtf = (
+        df.select(F.col(id_col).cast("long").alias("doc_id"), toks)
+        .where(F.col("term").isin(*query_terms))
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from .rank import exact_global_rank
+
+    tfr = (
+        exact_global_rank(qtf, [F.desc("tf"), F.asc("doc_id")], "rank")
+        .where(F.col("rank") <= pool)
+        .select("doc_id", F.col("rank").alias("tf_rank"))
+    )
+    fused = bm.join(tfr, "doc_id", "full").select(
+        "doc_id", "bm25_rank", "tf_rank",
+        F.round(
+            F.coalesce(1.0 / (F.col("bm25_rank") + c), F.lit(0.0))
+            + F.coalesce(1.0 / (F.col("tf_rank") + c), F.lit(0.0)), 6,
+        ).alias("rrf"),
+    )
+    return (
+        exact_global_rank(fused, [F.desc("rrf"), F.asc("doc_id")], "rank")
+        .where(F.col("rank") <= k)
+        .select("doc_id",
+                F.col("bm25_rank").cast("long").alias("bm25_rank"),
+                F.col("tf_rank").cast("long").alias("tf_rank"),
+                "rrf", F.col("rank").cast("long").alias("rank"))
+    )

@@ -397,3 +397,38 @@ def test_bloom_screen_planted(spark):
     assert out[1]["bloom_hits"] >= out[1]["true_hits"]
     assert all(r["false_pos"] >= 0 for r in out.values())
     assert out[2]["true_hits"] == 0
+
+
+def test_bm25_and_rrf_planted(spark):
+    import math
+
+    from ht_ner_spark.operators.textstats import bm25_topk, rrf_fusion
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark filler words here"),
+         (2, "spark appears once in a much longer document " + "pad " * 20),
+         (3, "no query terms at all in this one"),
+         (4, "window window spark")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["spark", "window"], k=10).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert 3 not in ranks                      # no query terms -> no score
+    assert ranks[4] == 1                       # two terms, short doc
+    # doc 1 (tf=3, short) beats doc 2 (tf=1, long): tf saturation + length norm
+    assert ranks[1] < ranks[2]
+    # verify doc 2's score against hand BM25 (single term, Lucene idf)
+    r2 = {r["doc_id"]: r["score"] for r in out}[2]
+    n, df_t, tf, dl = 4, 3, 1, 28
+    avgdl = (6 + 28 + 8 + 3) / 4
+    idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1)
+    want = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert abs(r2 - want) < 1e-3
+
+    fused = {r["doc_id"]: r for r in
+             rrf_fusion(docs, ["spark", "window"], k=10).collect()}
+    assert 3 not in fused
+    # every fused doc has rrf = 1/(60+bm25) + 1/(60+tf_rank)
+    for d, r in fused.items():
+        want = 1 / (60 + r["bm25_rank"]) + 1 / (60 + r["tf_rank"])
+        assert abs(r["rrf"] - want) < 1e-5, d
