@@ -2104,6 +2104,8 @@ def queries() -> dict:
         "bloom_screen": q_bloom_screen,
         "bm25_topk": q_bm25_topk,
         "rrf_fusion": q_rrf_fusion,
+        "value_percentiles": q_value_percentiles,
+        "ann_recall": q_ann_recall,
         "token_classify": q_token_classify,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
@@ -2211,6 +2213,8 @@ def oracle_sql() -> dict:
         "bloom_screen": _sql_bloom_screen(),
         "bm25_topk": _sql_bm25(),
         "rrf_fusion": _sql_rrf(),
+        "value_percentiles": SQL_VALUE_PERCENTILES,
+        "ann_recall": _sql_ann_recall(),
         "hmm_entities": _sql_hmm_entities(),
         "media_features": _sql_media_features(),
     }
@@ -4513,4 +4517,86 @@ fused AS (
 SELECT doc_id, bm25_rank, tf_rank, rrf,
        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
 FROM fused QUALIFY rank <= 10
+"""
+
+
+# ===========================================================================
+# 99. Exact percentile table (events.value per event_type): rank-position
+# percentiles (value at rank ceil(q*n)) — no interpolation, no engine
+# drift, the ops-analytics p50/p95/p99 table.
+
+def q_value_percentiles(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select("event_type", "event_id", "value").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(
+        Window.partitionBy("event_type")))
+
+    def pick(q):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(pick(0.5), 4).alias("p50"),
+        F.round(pick(0.95), 4).alias("p95"),
+        F.round(pick(0.99), 4).alias("p99"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+       round(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN value END), 4) AS p50,
+       round(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN value END), 4) AS p95,
+       round(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                      THEN value END), 4) AS p99
+FROM ranked GROUP BY event_type
+"""
+
+
+# ===========================================================================
+# 100. ANN recall@k vs the brute-force ground truth — the recall
+# measurement ITSELF is oracle-paired (both legs already are), so the
+# engine's ANN quality claim is driver-checkable, not prose.
+
+def q_ann_recall(spark, sf_dir):
+    truth = q_embedding_topk(spark, sf_dir)
+    cand = q_ann_bucketed(spark, sf_dir)
+    hits = (
+        truth.join(cand, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("hits"))
+    )
+    qs = truth.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        F.round(F.coalesce("hits", F.lit(0)) / F.lit(float(ANN_K)), 4)
+        .alias("recall_at_k"),
+    )
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH truth AS ({SQL_EMBEDDING_TOPK}),
+cand AS ({SQL_ANN_BUCKETED}),
+hits AS (
+  SELECT t.query_id, count(*) AS hits
+  FROM truth t JOIN cand c
+    ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+  GROUP BY t.query_id
+),
+qs AS (SELECT DISTINCT query_id FROM truth)
+SELECT qs.query_id, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       round(coalesce(hits, 0) / CAST({ANN_K} AS DOUBLE), 4) AS recall_at_k
+FROM qs LEFT JOIN hits ON qs.query_id = hits.query_id
 """
