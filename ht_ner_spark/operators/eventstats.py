@@ -6,6 +6,11 @@ against the previous window — is exactly the plan the Structured Streaming
 path produces with `F.window` + watermarked aggregation (streaming/windowed
 .py); implementing it batch-side keeps one set of semantics for both and
 gives the contract oracle something DuckDB can replay.
+
+No reference analog: HT-NER has no event/telemetry surface (its only
+run-time accounting is the OpenAI token counter,
+/root/reference/src/openai_infer.py:113); these are the consumer-side
+analytics a production deployment of the KG pipeline is asked for next.
 """
 
 from __future__ import annotations
