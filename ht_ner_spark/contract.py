@@ -2989,7 +2989,8 @@ d AS (
 )
 SELECT n, a_pos, b_pos, both_pos,
        round(po, 6) AS po, round(pe, 6) AS pe,
-       round((po - pe) / (1 - pe), 6) AS kappa
+       CASE WHEN pe < 1 THEN round((po - pe) / (1 - pe), 6)
+            ELSE NULL END AS kappa
 FROM d
 """
 

@@ -141,32 +141,47 @@ def funnel(df: DataFrame, steps: list[str] | None = None,
     reaches step i when their earliest step-i event STRICTLY AFTER their
     step-(i-1) completion time exists. conv_rate is vs step 1.
 
-    100 TB shape: one (user, step) min-ts agg over the filtered stream,
-    then |steps|-1 user-keyed join rounds over user-dimension-sized
-    frames (the corpus is touched once). Timestamps compare as epoch
-    micros."""
+    100 TB shape: ONE corpus scan — funnel-relevant events are grouped per
+    user into a time-sorted array and a single higher-order-function fold
+    (whole-stage-codegen, no Python) walks it greedily: at level k with
+    completion time t, the first steps[k] event with us > t advances the
+    level. The greedy walk is equivalent to the iterative earliest-next-
+    event-after-completion definition (the first qualifying event in time
+    order IS the min). One user-keyed shuffle, then a <=|steps|+1-row
+    level histogram is collected — the round-3 shape (one .count() action
+    per step over an uncached growing join lineage) rescanned the event
+    stream ~|steps| times (ADVICE r3). Per-user array size is bounded by
+    that user's funnel-event count; a pathological hot user is a salting
+    candidate, not a planner problem. Timestamps compare as epoch micros."""
     steps = steps or FUNNEL_STEPS
+    n = len(steps)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    base = df.select(F.col(user_col).alias("user_id"),
-                     F.col(type_col).alias("et"), us.alias("us"))
-    mins = (
-        base.where(F.col("et").isin(*steps))
-        .groupBy("user_id", "et").agg(F.min("us").alias("first_us"))
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    per_user = (
+        df.select(F.col(user_col).alias("user_id"),
+                  F.col(type_col).alias("et"), us.alias("us"))
+        .where(F.col("et").isin(*steps))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("us", "et"))).alias("seq"))
     )
-    reached = (
-        mins.where(F.col("et") == steps[0])
-        .select("user_id", F.col("first_us").alias("t"))
-    )
-    counts = [reached.count()]
-    for nxt in steps[1:]:
-        nxt_ev = (
-            base.where(F.col("et") == nxt)
-            .join(reached, "user_id")
-            .where(F.col("us") > F.col("t"))
-            .groupBy("user_id").agg(F.min("us").alias("t2"))
+    init = F.struct(F.lit(0).cast("int").alias("k"),
+                    F.lit(0).cast("long").alias("t"))
+
+    def _advance(acc, e):
+        adv = (
+            (acc["k"] < F.lit(n))
+            & (e["et"] == F.get(steps_arr, acc["k"]))
+            & ((acc["k"] == F.lit(0)) | (e["us"] > acc["t"]))
         )
-        reached = nxt_ev.select("user_id", F.col("t2").alias("t"))
-        counts.append(reached.count())
+        return F.when(adv, F.struct((acc["k"] + 1).cast("int").alias("k"),
+                                    e["us"].alias("t"))).otherwise(acc)
+
+    lev = per_user.select(
+        F.aggregate("seq", init, _advance, lambda acc: acc["k"]).alias("k"))
+    by_k = {r["k"]: r["c"] for r in
+            lev.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    counts = [sum(c for kk, c in by_k.items() if kk >= i + 1)
+              for i in range(n)]
     spark = df.sparkSession
     # integer half-up ratio: Python round() is banker's, SQL round is
     # half-away — this form is identical everywhere

@@ -205,5 +205,10 @@ def cohens_kappa(df, a_col: str, b_col: str):
         F.col("both_pos").cast("long").alias("both_pos"),
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
-        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        # degenerate input (both labelers constant, e.g. an empty frame or
+        # one where a and b are all-true/all-false) gives pe == 1 and kappa
+        # is undefined — emit NULL explicitly rather than divide by zero;
+        # the oracle SQL carries the same guard (ADVICE r3).
+        F.when(pe < 1, F.round((po - pe) / (1 - pe), 6))
+        .otherwise(F.lit(None).cast("double")).alias("kappa"),
     )

@@ -41,8 +41,11 @@ def pack_sequences(df: DataFrame, budget: int = PACK_BUDGET,
     there is no global cumsum. Token counts are the row-side BPE estimate
     (whole-stage codegen), so the packing pass is one scan + one shard-keyed
     shuffle. n_shards scales with the cluster, budget with the model."""
+    # the window orders by the RENAMED column: toks below aliases id_col to
+    # doc_id, so ordering by id_col would fail analysis for any caller whose
+    # id column isn't literally named "doc_id" (ADVICE r3).
     w = (
-        Window.partitionBy("shard").orderBy(id_col)
+        Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     toks = df.select(

@@ -104,10 +104,38 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     return spark.read.table(name)
 
 
+def _recover_compact(warehouse: str, name: str) -> None:
+    """Crash recovery for compact_table's two-rename swap: if a previous
+    compaction died between rename(path, old) and rename(tmp, path), the
+    table data survives under ``name__compact_old`` — restore it; leftover
+    ``__compact_old``/``__compact_tmp`` dirs beside a live table are swap
+    garbage — drop them. Called on every path-warehouse table access; the
+    common case is two negative isdir checks."""
+    import shutil
+
+    path = os.path.join(warehouse, name)
+    old = f"{path}__compact_old"
+    tmp = f"{path}__compact_tmp"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        # mid-swap crash: the old table is complete (it was live before the
+        # swap); the tmp may or may not be — restoring old is always safe,
+        # and a redone compaction is idempotent.
+        os.rename(old, path)
+    if os.path.isdir(path):
+        for leftover in (old, tmp):
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover, ignore_errors=True)
+        tmp_meta = os.path.join(warehouse, "_meta",
+                                f"{name}__compact_tmp.json")
+        if os.path.exists(tmp_meta):
+            os.remove(tmp_meta)
+
+
 def read_table(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
     cat = _iceberg_enabled(spark)
     if cat:
         return spark.read.table(f"{cat}.{name}")
+    _recover_compact(warehouse, name)
     path = os.path.join(warehouse, name)
     meta_path = os.path.join(warehouse, "_meta", f"{name}.json")
     if os.path.isfile(meta_path):
@@ -126,6 +154,7 @@ def table_exists(spark: SparkSession, warehouse: str, name: str) -> bool:
     cat = _iceberg_enabled(spark)
     if cat:
         return spark.catalog.tableExists(f"{cat}.{name}")
+    _recover_compact(warehouse, name)
     path = os.path.join(warehouse, name)
     if not os.path.isdir(path):
         return False
@@ -144,8 +173,14 @@ def compact_table(spark: SparkSession, warehouse: str, name: str,
     per file, preserving the stored partition_by columns, and returns
     {files_before, files_after, bytes}. On Iceberg this is
     rewrite_data_files; here it is a read → repartition(ceil(bytes/target))
-    → atomic swap (write to a temp name, then rename) so a concurrent
-    reader never sees a half-written table.
+    → two-rename swap (write to a temp name, move old out, move new in).
+    The swap is NOT atomic: between the two renames the table path briefly
+    does not exist (a posix reader that already opened the old files keeps
+    them; a reader that lists the path in that window sees it missing), and
+    a crash mid-swap strands the data under ``name__compact_old``. Both are
+    handled: ``_recover_compact`` runs on every table access and restores /
+    cleans up any interrupted swap, so the table is never permanently lost
+    (ADVICE r3). On Iceberg the swap is a metadata commit and truly atomic.
 
     The repartition count is computed from the table's ACTUAL on-disk bytes
     (parquet is already compressed — sizing from row counts over-shards
@@ -153,6 +188,7 @@ def compact_table(spark: SparkSession, warehouse: str, name: str,
     import math
     import shutil
 
+    _recover_compact(warehouse, name)
     path = os.path.join(warehouse, name)
     files = [
         os.path.join(dp, f)
