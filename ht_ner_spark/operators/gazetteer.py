@@ -118,20 +118,129 @@ def build_trie(weights: dict[str, float]) -> dict:
     return trie
 
 
+try:  # pragma: no cover - exercised only where the C extension exists
+    import ahocorasick as _ahocorasick
+
+    HAS_AHOCORASICK = True
+except ImportError:
+    _ahocorasick = None
+    HAS_AHOCORASICK = False
+
+
+class TrieMatcher:
+    """Gazetteer phrase matcher with selectable backend (VERDICT r3 #6):
+
+    * ``pure`` — the dict-trie walk (always available; the engine default,
+      bit-stable with the DuckDB oracle and the relational variant).
+    * ``ahocorasick`` — pyahocorasick's C automaton over the space-joined
+      lowered token stream, import-gated like HFScorer: available it raises
+      the fused labeler's single-core CPU floor (the trie walk is the
+      dominant term, PLANS.md §12); absent it raises NotImplementedError
+      with the swap instructions.
+    * ``auto`` — ahocorasick when importable, else pure.
+
+    Both backends return the IDENTICAL match set — every phrase occurrence
+    at every token position, overlapping and nested included (spacy
+    PhraseMatcher(LOWER) semantics) — as (begin_tok, end_tok, weight)
+    triples; tests/test_trie_backend.py asserts set equality per row.
+
+    Token-boundary correctness for the char-level automaton: tokens are
+    joined with a single space, and a char match [s, e] is accepted only
+    when s is 0-or-after-space and e is end-or-before-space — then the
+    char offsets map back to token indices via the precomputed start
+    table. Tokens never contain spaces (TOKEN_PATTERN), so the alignment
+    is exact."""
+
+    def __init__(self, weights: dict[str, float], backend: str = "pure"):
+        if backend == "auto":
+            backend = "ahocorasick" if HAS_AHOCORASICK else "pure"
+        if backend == "ahocorasick" and not HAS_AHOCORASICK:
+            raise NotImplementedError(
+                "TrieMatcher(backend='ahocorasick') needs pyahocorasick; "
+                "use backend='pure' (identical matches, slower walk) in "
+                "environments without the C extension")
+        if backend not in ("pure", "ahocorasick"):
+            raise ValueError(f"unknown TrieMatcher backend: {backend!r}")
+        self.backend = backend
+        if backend == "pure":
+            self._trie = build_trie(weights)
+        else:  # pragma: no cover - needs the C extension
+            auto = _ahocorasick.Automaton()
+            for phrase, w in weights.items():
+                key = " ".join(phrase.lower().split())
+                # same last-write-wins on duplicate normalized phrases as
+                # build_trie's "\0" overwrite
+                auto.add_word(key, (len(key), key.count(" ") + 1, float(w)))
+            auto.make_automaton()
+            self._auto = auto
+
+    def matches(self, toks: list[str], low: list[str]
+                ) -> list[tuple[int, int, float]]:
+        """All (begin_tok, end_tok_exclusive, weight) phrase matches."""
+        if self.backend == "pure":
+            out = []
+            trie_get = self._trie.get
+            n = len(toks)
+            for i in range(n):
+                node = trie_get(low[i])
+                j = i
+                while node is not None:
+                    j += 1
+                    if "\0" in node:
+                        out.append((i, j, node["\0"]))
+                    node = node.get(low[j]) if j < n else None
+            return out
+        return self._matches_ac(low)  # pragma: no cover - needs C extension
+
+    def _matches_ac(self, low: list[str]
+                    ) -> list[tuple[int, int, float]]:  # pragma: no cover
+        joined = " ".join(low)
+        # char start offset of each token in `joined` -> token index
+        starts: dict[int, int] = {}
+        pos = 0
+        for idx, t in enumerate(low):
+            starts[pos] = idx
+            pos += len(t) + 1
+        total = len(joined)
+        out = []
+        for end_pos, (klen, n_toks, w) in self._auto.iter(joined):
+            # end boundary: the char after the match is a space or the end
+            nxt = end_pos + 1
+            if nxt < total and joined[nxt] != " ":
+                continue
+            # start boundary: the char before the match is a space or BOS
+            s = end_pos - klen + 1
+            if s > 0 and joined[s - 1] != " ":
+                continue
+            i = starts.get(s)
+            if i is None:  # defensive; boundary checks already imply a hit
+                continue
+            out.append((i, i + n_toks, w))
+        return out
+
+
 def match_trie(corpus: DataFrame, weights: dict[str, float],
                lf_name: str = LF_NAME, text_col: str = "content",
-               pattern: str = TOKEN_PATTERN) -> DataFrame:
+               pattern: str = TOKEN_PATTERN,
+               backend: str = "pure") -> DataFrame:
     """Arrow mapInPandas trie match -> MENTIONS rows (greedy-all semantics:
     every match at every start position, longest-first exploration, exactly
-    the span set PhraseMatcher returns)."""
+    the span set PhraseMatcher returns). ``backend`` selects the per-row
+    matcher (see TrieMatcher): 'pure' is the default/oracle-stable path;
+    'ahocorasick' is the import-gated C-automaton fast path, identical
+    matches (tests/test_trie_backend.py). Rows are emitted sorted by
+    (begin, end) per document so the output row SET and order are
+    backend-independent."""
     spark = corpus.sparkSession
-    trie_b = spark.sparkContext.broadcast(build_trie(weights))
+    # broadcast the weights (small dimension); each executor process builds
+    # its matcher once — automatons don't pickle portably, dicts do
+    weights_b = spark.sparkContext.broadcast(dict(weights))
     import re
 
     tok_re = re.compile(pattern)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        trie = trie_b.value
+        matcher = TrieMatcher(weights_b.value, backend=backend)
         for pdf in batches:
             rows_out: list[tuple] = []
             for row_id, text in zip(pdf["row_id"], pdf[text_col]):
@@ -140,20 +249,12 @@ def match_trie(corpus: DataFrame, weights: dict[str, float],
                 matches = list(tok_re.finditer(text or ""))
                 toks = [m.group(0) for m in matches]
                 low = [t.lower() for t in toks]
-                n = len(toks)
-                for i in range(n):
-                    node = trie
-                    j = i
-                    while j < n and low[j] in node:
-                        node = node[low[j]]
-                        j += 1
-                        if "\0" in node:
-                            w = node["\0"]
-                            rows_out.append(
-                                (row_id, lf_name, i, j, " ".join(toks[i:j]),
-                                 "PERSON_NAME", w, w,
-                                 matches[i].start(), matches[j - 1].end())
-                            )
+                for i, j, w in sorted(matcher.matches(toks, low)):
+                    rows_out.append(
+                        (row_id, lf_name, i, j, " ".join(toks[i:j]),
+                         "PERSON_NAME", w, w,
+                         matches[i].start(), matches[j - 1].end())
+                    )
             yield pd.DataFrame(
                 rows_out,
                 columns=[f.name for f in MENTIONS.fields],
