@@ -587,7 +587,8 @@ def scaling_run(rows: int | None = None, pairs: int | None = None,
                 timeout: float = 900.0,
                 make_pyfiles: bool = True,
                 deadline: float | None = None,
-                est_sec: dict[int, float] | None = None) -> dict | None:
+                est_sec: dict[int, float] | None = None,
+                on_pair=None) -> dict | None:
     """Same job via spark-submit --py-files (north_rule run shape), two
     parallelism levels, fresh JVM each — the sandbox stand-in for N vs 4N
     executors. A FIXED number of (lo,hi) pairs run tightly interleaved (the
@@ -670,6 +671,20 @@ def scaling_run(rows: int | None = None, pairs: int | None = None,
         if truncated:
             break
         rep += 1
+        # incremental evidence (r4): after every completed pair, hand the
+        # summary-so-far to the caller so it reaches the emitted artifact —
+        # an external kill mid-campaign costs only the unfinished pair, not
+        # the whole section (same rationale as main()'s per-section _emit).
+        if on_pair is not None:
+            partial = _scaling_summary(runs, lo_c, hi_c, rows=rows, pairs=rep)
+            if partial is not None:
+                partial["partial"] = True
+                partial["runs"] = [
+                    {k: r[k] for k in ("pair", "cores", "sec",
+                                       "triples_per_sec", "stage_sec", "host",
+                                       "cpu_probe_sec", "cpu_probe_sec_after")
+                     if k in r} for r in runs]
+                on_pair(partial)
     disk_after = _disk_probe_mbps()
     cpu_after = _cpu_probe_sec()
     s = _scaling_summary(runs, lo_c, hi_c, rows=rows, pairs=rep)
@@ -941,10 +956,18 @@ def ann_tradeoff(spark, sf_dir: str, n_queries: int = 50, k: int = 10) -> dict |
                          **(extra or {})}
 
         add("lsh_bucketed", sim.bucketed_ann_topk(vecs, queries, k=k),
-            {"tables": 8, "bits": 8})
+            {"tables": 8, "bits": 8, "radius": 1})
+        add("lsh_bucketed_r2",
+            sim.bucketed_ann_topk(vecs, queries, k=k, radius=2),
+            {"tables": 8, "bits": 8, "radius": 2})
+        # round-3 anchor config, kept for the cross-round trade-off table
+        anchor_c = sim.seed_centroids(vecs, n_cells=16)
+        add("ivf_seed_r3_anchor",
+            sim.ivf_topk(vecs, queries, anchor_c, k=k, nprobe=4),
+            {"cells": 16, "nprobe": 4})
         seed_c = sim.seed_centroids(vecs, n_cells=IVF_CELLS)
         add("ivf_seed", sim.ivf_topk(vecs, queries, seed_c, k=k, nprobe=IVF_NPROBE),
-            {"cells": IVF_CELLS, "nprobe": IVF_NPROBE})
+            {"cells": IVF_CELLS, "nprobe": IVF_NPROBE, "default": True})
         t0 = time.monotonic()
         km_c = sim.kmeans_centroids(vecs, n_cells=IVF_CELLS)
         train_sec = time.monotonic() - t0
@@ -1103,10 +1126,17 @@ def main() -> None:
                                              "make_pyfiles.sh")],
                        check=True, capture_output=True)
         pyfiles_made = True
+
+        def _partial_large(s: dict) -> None:
+            out["scaling_large"] = s
+            out["scaling_gate"] = _scaling_gate(out.get("scaling"), s)
+            _emit(out, t_start)
+
         out["scaling_large"] = scaling_run(
             rows=SCALING_LARGE_ROWS, pairs=SCALING_LARGE_PAIRS,
             clean_target=2, extra_pairs=1, timeout=600.0,
-            make_pyfiles=False, deadline=deadline, est_sec=EST_RUN_SEC_2M)
+            make_pyfiles=False, deadline=deadline, est_sec=EST_RUN_SEC_2M,
+            on_pair=_partial_large)
         out["sections_done"].append("scaling_large")
         out["scaling_gate"] = _scaling_gate(out["scaling"],
                                             out["scaling_large"])
@@ -1123,8 +1153,14 @@ def main() -> None:
                                                  "make_pyfiles.sh")],
                            check=True, capture_output=True)
             pyfiles_made = True
+        def _partial_600k(s: dict) -> None:
+            out["scaling"] = s
+            out["scaling_gate"] = _scaling_gate(s, out.get("scaling_large"))
+            _emit(out, t_start)
+
         scaling = scaling_run(make_pyfiles=False, deadline=deadline,
-                              timeout=600.0, est_sec=EST_RUN_SEC_600K)
+                              timeout=600.0, est_sec=EST_RUN_SEC_600K,
+                              on_pair=_partial_600k)
         out["scaling"] = scaling
         out["sections_done"].append("scaling")
         out["scaling_gate"] = _scaling_gate(scaling, out["scaling_large"])

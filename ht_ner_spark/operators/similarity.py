@@ -61,21 +61,26 @@ def sign_bucket(vec: Column, bits: int = 8) -> Column:
 
 
 def bucketed_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
-                      bits: int = 8, tables: int = 8, id_col: str = "vec_id",
-                      vec_col: str = "embedding",
+                      bits: int = 8, tables: int = 8, radius: int = 1,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
                       query_id_col: str = "query_id") -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign-bucket LSH: table t keys on the
     sign bits of coordinate slice [t*bits, (t+1)*bits); a candidate matches
-    if it shares ANY table's bucket with the query (or a radius-1 multiprobe
-    flip of it); exact cosine re-rank within the candidate union.
+    if it shares ANY table's bucket with the query (or a hamming-``radius``
+    multiprobe flip of it, radius 0|1|2); exact cosine re-rank within the
+    candidate union.
 
     One table (the round-1 form) recalls ~0.2 of the exact top-5 on
     low-similarity embeddings; the union over 8 disjoint-slice tables
     recalls ~0.6 at a ~25% candidate fraction on the synthetic testdata
     (mean top-5 cosine only 0.32 — adversarially unclustered; real corpora
     with near-dup structure sit far right of this trade-off curve). Tune
-    recall/cost with ``tables`` (more -> higher recall, more candidates) and
-    ``bits`` (more -> fewer candidates, lower recall).
+    recall/cost with ``tables`` (more -> higher recall, more candidates),
+    ``bits`` (more -> fewer candidates, lower recall) and ``radius``
+    (measured on the sf0.1 testdata, ANN_SWEEP_r04.json: radius 1 -> recall
+    0.658 @ 25% candidates, radius 2 -> 0.978 @ 72% — on THIS unclustered
+    data recall tracks candidate fraction almost linearly, which is why the
+    engine's default ANN path is IVF, not LSH; see ivf_topk).
 
     Requires dim >= bits*tables (default 64 = the embeddings testdata dim).
     All bucket keys are substrings of ONE sign string — no arithmetic, so
@@ -107,10 +112,20 @@ def bucketed_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
         fc = F.when(c == "1", "0").otherwise("1")
         return F.concat(F.substring(s, 1, i), fc, F.substring(s, i + 2, bits))
 
+    if radius not in (0, 1, 2):
+        raise ValueError(f"radius must be 0, 1 or 2, got {radius}")
     probe_structs = []
     for t in range(tables):
         qb = F.substring("sb", t * bits + 1, bits)
-        for p in [qb] + [flip(qb, i) for i in range(bits)]:
+        probes = [qb]
+        if radius >= 1:
+            probes += [flip(qb, i) for i in range(bits)]
+        if radius >= 2:
+            import itertools
+
+            probes += [flip(flip(qb, i), j)
+                       for i, j in itertools.combinations(range(bits), 2)]
+        for p in probes:
             probe_structs.append(F.struct(F.lit(t).alias("t"), p.alias("key")))
     qt = q.select(
         "query_id", "qvec", F.explode(F.array(*probe_structs)).alias("tk")

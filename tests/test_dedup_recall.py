@@ -137,6 +137,27 @@ def test_bucketed_ann_recall_vs_brute_force(spark):
     assert recall >= 0.55, recall
 
 
+def test_bucketed_ann_radius_monotone(spark):
+    # hamming-radius multiprobe (r4): each radius level's probe set is a
+    # superset of the previous one's, so the candidate union — and hence
+    # recall vs exact — must be monotone in radius; on the sf0.001 fixture
+    # radius 2's ~0.72 candidate fraction reaches near-exact recall
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = vecs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    e = {(r["query_id"], r["neighbor_id"])
+         for r in brute_force_topk(vecs, queries, k=5).collect()}
+    recalls = []
+    for radius in (0, 1, 2):
+        a = {(r["query_id"], r["neighbor_id"])
+             for r in bucketed_ann_topk(vecs, queries, k=5,
+                                        radius=radius).collect()}
+        recalls.append(len(e & a) / len(e))
+    assert recalls[0] <= recalls[1] <= recalls[2], recalls
+    assert recalls[2] >= 0.9, recalls
+
+
 class _ArrowHash:
     """HashScorer math behind a non-HashScorer type -> forces the Arrow
     mapInPandas path in score_mentions."""
