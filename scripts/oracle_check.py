@@ -8,7 +8,9 @@ Usage:
   python scripts/oracle_check.py [sf_dir] [query ...]
 
 Defaults to /root/testdata/sf0.01 and all queries. Exit code 1 if any
-paired query mismatches or errors.
+paired query mismatches or errors. Set ORACLE_CHECK_JSON=<path> to also
+write a driver-shaped JSON artifact (per-query match flags + wall seconds
+for the Spark leg, so slow-at-sf0.01 queries are visible per round).
 """
 from __future__ import annotations
 
@@ -83,30 +85,56 @@ def main() -> int:
 
     qmap, omap = E.queries(), E.oracle_sql()
     bad = 0
+    report: dict[str, dict] = {}
+    json_out = os.environ.get("ORACLE_CHECK_JSON")
+
+    def _flush() -> None:
+        if json_out:
+            with open(json_out, "w") as f:
+                json.dump(report, f, indent=1)
+
+    import time
+
     for name, fn in qmap.items():
         if only and name not in only:
             continue
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None, "oracle_rows": None,
+               "spark_sec": None, "err": None}
+        report[name] = rec
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001 - report, keep going
             print(f"{name:24s} SPARK ERR: {exc}")
+            rec["err"] = f"spark: {exc}"[:300]
             bad += 1
+            _flush()
             continue
+        rec["spark_sec"] = round(time.monotonic() - t0, 3)
+        rec["spark_rows"] = len(sdf)
         sql = omap.get(name)
         if sql is None:
-            print(f"{name:24s} rows-only ({len(sdf)} rows)  [no oracle]")
+            print(f"{name:24s} rows-only ({len(sdf)} rows)  [no oracle]"
+                  f"  {rec['spark_sec']}s")
+            rec.update(rows_match=None, schema_match=None, hash_match=None)
+            _flush()
             continue
         try:
             odf = con.execute(sql).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"{name:24s} ORACLE ERR: {exc}")
+            rec["err"] = f"oracle: {exc}"[:300]
             bad += 1
+            _flush()
             continue
         sn, sc, sr = _canon(sdf)
         on, oc, orr = _canon(odf)
         ok_rows, ok_cols, ok_vals = sn == on, sc == oc, sr == orr
+        rec.update(rows_match=ok_rows, schema_match=ok_cols,
+                   hash_match=ok_vals, oracle_rows=on)
         if ok_rows and ok_cols and ok_vals:
-            print(f"{name:24s} OK ({sn} rows)")
+            print(f"{name:24s} OK ({sn} rows)  {rec['spark_sec']}s")
         else:
             bad += 1
             print(f"{name:24s} MISMATCH rows={sn}/{on} cols_match={ok_cols}"
@@ -119,7 +147,9 @@ def main() -> int:
                         print(f"  first diff:\n   spark:  {a[:300]}\n"
                               f"   oracle: {b[:300]}")
                         break
+        _flush()
     spark.stop()
+    _flush()
     print(f"\n{'FAIL' if bad else 'PASS'}: {bad} bad")
     return 1 if bad else 0
 
