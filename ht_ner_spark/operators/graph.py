@@ -26,10 +26,14 @@ Scale notes (100 TB posture):
   with localCheckpoint every ``checkpoint_every`` rounds (components.py
   learned this the hard way — an unbounded iterative plan OOMs the planner
   long before the data hurts).
-* triangle counting's first join produces the wedge frame (sum of
-  deg(v)^2); the standard mitigation at web scale is degree-ordered
-  orientation, which this edge set already has (edges stored u < v only),
-  halving wedge generation vs an undirected adjacency.
+* triangle counting's first join produces the wedge frame; id-ordering
+  (edges stored u < v) bounds it by sum over b of in(b)*out(b), which still
+  explodes on co-occurrence cliques (every shared object makes one). The
+  wedge join therefore re-orients each edge from the lower-(degree, id)
+  endpoint to the higher one — node-iterator++ (Suri & Vassilvitskii,
+  WWW'11) — which caps every out-degree at O(sqrt(m)) and the wedge frame
+  at O(m^1.5) regardless of hubs. Triangle counts are identical under any
+  total-order orientation, so the DuckDB oracle keeps the id-ordered form.
 """
 
 from __future__ import annotations
@@ -73,27 +77,54 @@ def triangle_summary(triples: DataFrame) -> DataFrame:
     (n_nodes, n_edges, n_triangles, max_degree).
 
     n_nodes counts distinct subjects of the KG (isolated ones included);
-    triangles are counted once each via the oriented wedge join: edges are
-    stored u < v, wedges (a<b<c) come from e1.v = e2.u, and a semi-join
-    against the closing edge (a, c) keeps only closed wedges.
+    triangles are counted once each via the degree-ordered wedge join
+    (node-iterator++): every undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, wedges pair two
+    out-edges at a common apex, and a semi-join against the closing
+    oriented edge keeps only closed wedges. Any total-order orientation
+    counts each triangle exactly once; degree order additionally bounds
+    each out-degree at O(sqrt(m)), so the wedge frame is O(m^1.5) even
+    when the co-occurrence projection contains hub cliques.
     """
+    # the incoming frame's lineage is the whole KG pipeline; it is consumed
+    # twice below (projection + n_nodes), so materialize it once
+    triples = triples.localCheckpoint()
     edges, _ = copair_edges(triples)
-    edges = edges.localCheckpoint()  # 3 consumers below — scan once
-    wedges = (
-        edges.alias("e1")
-        .join(edges.alias("e2"), F.col("e1.v") == F.col("e2.u"))
-        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
-                F.col("e2.v").alias("c"))
-    )
-    closed = wedges.join(
-        edges.alias("e3"),
-        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
-        "left_semi",
-    )
+    edges = edges.localCheckpoint()  # 4 consumers below — scan once
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select("v"))
         .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # orient u->v when (du, u) < (dv, v); edges already satisfy u < v, so
+    # the id tiebreak keeps the stored direction on equal degrees
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = (
+        edges.join(du, "u").join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(fwd, F.struct(F.col("dv").alias("d"),
+                                 F.col("v").alias("n")))
+            .otherwise(F.struct(F.col("du").alias("d"),
+                                F.col("u").alias("n"))).alias("kt"),
+        )
+        .localCheckpoint()  # apex join consumes it twice + closing semi-join
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"),
+              (F.col("e1.s") == F.col("e2.s"))
+              & (F.col("e1.kt") < F.col("e2.kt")))
+        .select(F.col("e1.t").alias("a"), F.col("e2.t").alias("c"))
+    )
+    closed = wedges.join(
+        oriented.alias("e3"),
+        (F.col("a") == F.col("e3.s")) & (F.col("c") == F.col("e3.t")),
+        "left_semi",
     )
     n_nodes = triples.agg(
         F.countDistinct("subj").cast("long").alias("n_nodes"))
@@ -117,8 +148,11 @@ def pagerank(triples: DataFrame, iters: int = PR_ITERS,
     Deterministic given the edge set — used fixed-iteration so the contract
     oracle can unroll the same rounds in SQL.
     """
+    # materialize the edge list once: its lineage is the caller's whole
+    # pipeline, and every derivation below (sym union / degree / node set)
+    # would otherwise recompute that lineage per scan
     e = triples.select(F.col("subj").alias("src"),
-                       F.col("obj").alias("dst")).distinct()
+                       F.col("obj").alias("dst")).distinct().localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
              .unionAll(e.select("dst")).distinct())
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -163,8 +197,11 @@ def label_propagation(triples: DataFrame, iters: int = LPA_ITERS,
     keyed on node and one (node, label) partial-agg shuffle; the argmax is
     min(struct(-cnt, label)) — no per-node window, no global state. The
     symmetrized edge list is loop-invariant and localCheckpoint'd once."""
+    # materialize the edge list once: its lineage is the caller's whole
+    # pipeline, and every derivation below (sym union / degree / node set)
+    # would otherwise recompute that lineage per scan
     e = triples.select(F.col("subj").alias("src"),
-                       F.col("obj").alias("dst")).distinct()
+                       F.col("obj").alias("dst")).distinct().localCheckpoint()
     sym = (e.unionAll(e.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst"))).distinct()
            .localCheckpoint())
@@ -208,8 +245,11 @@ def khop_neighborhood(triples: DataFrame, seeds: list[str],
     No windows, no driver-side traversal; seeds ship as a plan literal.
     broadcast_frontier=False switches to a src-keyed shuffle join for the
     hub-explosion case where a frontier outgrows executor memory."""
+    # materialize the edge list once: its lineage is the caller's whole
+    # pipeline, and every derivation below (sym union / degree / node set)
+    # would otherwise recompute that lineage per scan
     e = triples.select(F.col("subj").alias("src"),
-                       F.col("obj").alias("dst")).distinct()
+                       F.col("obj").alias("dst")).distinct().localCheckpoint()
     sym = (e.unionAll(e.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst"))).distinct()
            .localCheckpoint())
@@ -249,11 +289,16 @@ def adamic_adar(triples: DataFrame, max_center_degree: int | None = None
     dropped. One degree agg, one broadcastable degree join, one wedge
     self-join (AQE skew-split), one pair agg, one anti-join against the
     existing edge set."""
+    # materialize the edge list once: its lineage is the caller's whole
+    # pipeline, and every derivation below (sym union / degree / node set)
+    # would otherwise recompute that lineage per scan
     e = triples.select(F.col("subj").alias("src"),
-                       F.col("obj").alias("dst")).distinct()
+                       F.col("obj").alias("dst")).distinct().localCheckpoint()
+    # sym is scanned ~4x below (deg, both wedge sides, existing) and its
+    # lineage is the caller's whole pipeline — materialize it once
     sym = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     if max_center_degree is not None:
         hot = deg.where(F.col("deg") > max_center_degree)
@@ -303,6 +348,9 @@ def entity_cards(triples: DataFrame, obj_sample_k: int = 5) -> DataFrame:
     subj-keyed joins that reuse the same hash partitioning."""
     from pyspark.sql import Window
 
+    # two independent scans below (pred stats + obj sample) over a frame
+    # whose lineage is the caller's whole pipeline — materialize once
+    triples = triples.localCheckpoint()
     tp = triples.groupBy("subj", "pred").agg(F.count(F.lit(1)).alias("n"))
     stats = tp.groupBy("subj").agg(
         F.sum("n").alias("n_triples"),
@@ -349,8 +397,11 @@ def random_walks(triples: DataFrame, walks_per_node: int = 2,
     pagerank/khop iteration shape; the edge frame is loop-invariant and
     localCheckpointed once. Hub fan-out per round is deg(cur) per walk,
     reduced immediately by the min_by partial agg (map-side combine)."""
+    # materialize the edge list once: its lineage is the caller's whole
+    # pipeline, and every derivation below (sym union / degree / node set)
+    # would otherwise recompute that lineage per scan
     e = triples.select(F.col("subj").alias("src"),
-                       F.col("obj").alias("dst")).distinct()
+                       F.col("obj").alias("dst")).distinct().localCheckpoint()
     sym = (e.unionAll(e.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst"))).distinct()
            .localCheckpoint())
@@ -387,8 +438,11 @@ def kcore(triples: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     100 TB shape: per round one semi-join of the (loop-invariant,
     localCheckpointed) edge frame against the survivor set on EACH
     endpoint + one degree agg — all keyed on node."""
+    # materialize the edge list once: its lineage is the caller's whole
+    # pipeline, and every derivation below (sym union / degree / node set)
+    # would otherwise recompute that lineage per scan
     e = triples.select(F.col("subj").alias("src"),
-                       F.col("obj").alias("dst")).distinct()
+                       F.col("obj").alias("dst")).distinct().localCheckpoint()
     sym = (e.unionAll(e.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst"))).distinct()
            .localCheckpoint())
@@ -422,8 +476,11 @@ def personalized_pagerank(triples: DataFrame, seeds: list[str],
     Same iteration shape and scale posture as ``pagerank`` (one edge⋈ranks
     join + one dst-keyed agg per round, loop-invariant frame checkpointed);
     seeds ship as a plan literal."""
+    # materialize the edge list once: its lineage is the caller's whole
+    # pipeline, and every derivation below (sym union / degree / node set)
+    # would otherwise recompute that lineage per scan
     e = triples.select(F.col("subj").alias("src"),
-                       F.col("obj").alias("dst")).distinct()
+                       F.col("obj").alias("dst")).distinct().localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
              .unionAll(e.select("dst")).distinct())
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
