@@ -1099,11 +1099,21 @@ def main() -> None:
     def room_for(est: float) -> bool:
         return time.monotonic() + est < deadline
 
+    def _mark(out: dict, section: str) -> None:
+        """sections_done must mean 'evidence present': a section whose
+        runner returned None (all runs timed out / internal error) is
+        recorded as skipped with reason no_result, not as done (r4 review)."""
+        if out.get(section) is not None:
+            out["sections_done"].append(section)
+        else:
+            out["sections_skipped"].append(
+                {"section": section, "reason": "no_result"})
+
     # measured cost/recall of the ANN paths on the same query set (needs the
     # live session; cheap relative to campaigns)
     if room_for(120):
         out["ann_tradeoff"] = ann_tradeoff(spark, sf_dir)
-        out["sections_done"].append("ann_tradeoff")
+        _mark(out, "ann_tradeoff")
         _emit(out, t_start)
     else:
         out["sections_skipped"].append(
@@ -1134,10 +1144,13 @@ def main() -> None:
 
         out["scaling_large"] = scaling_run(
             rows=SCALING_LARGE_ROWS, pairs=SCALING_LARGE_PAIRS,
-            clean_target=2, extra_pairs=1, timeout=600.0,
+            # 900s per-run cap = the dev-campaign protocol (ade87a2): a 2M
+            # run needing more is >=3x any clean run and always classifies
+            # unclean; 600 killed degraded-window runs that still complete
+            clean_target=2, extra_pairs=1, timeout=900.0,
             make_pyfiles=False, deadline=deadline, est_sec=EST_RUN_SEC_2M,
             on_pair=_partial_large)
-        out["sections_done"].append("scaling_large")
+        _mark(out, "scaling_large")
         out["scaling_gate"] = _scaling_gate(out["scaling"],
                                             out["scaling_large"])
         _emit(out, t_start)
@@ -1162,7 +1175,7 @@ def main() -> None:
                               timeout=600.0, est_sec=EST_RUN_SEC_600K,
                               on_pair=_partial_600k)
         out["scaling"] = scaling
-        out["sections_done"].append("scaling")
+        _mark(out, "scaling")
         out["scaling_gate"] = _scaling_gate(scaling, out["scaling_large"])
         if scaling:
             # authoritative throughput: the spark-submit runs at the higher
@@ -1190,7 +1203,7 @@ def main() -> None:
     # the same fixed input (see scaleout_calib docstring)
     if room_for(240):
         out["scaleout_calib"] = scaleout_calib()
-        out["sections_done"].append("scaleout_calib")
+        _mark(out, "scaleout_calib")
         _emit(out, t_start)
     else:
         out["sections_skipped"].append(
@@ -1198,7 +1211,7 @@ def main() -> None:
 
     if room_for(240) and pyfiles_made:
         out["variants"] = variant_runs()
-        out["sections_done"].append("variants")
+        _mark(out, "variants")
     else:
         out["sections_skipped"].append(
             {"section": "variants",

@@ -160,7 +160,12 @@ def funnel(df: DataFrame, steps: list[str] | None = None,
     per_user = (
         df.select(F.col(user_col).alias("user_id"),
                   F.col(type_col).alias("et"), us.alias("us"))
-        .where(F.col("et").isin(*steps))
+        # NULL-timestamp events must not advance the fold: at k==0 the time
+        # check is bypassed, so a NULL-us step-1 event would pin t=NULL and
+        # block every later comparison (us > NULL is NULL). The SQL oracle's
+        # min(us)/us > t form ignores NULLs implicitly; filtering here keeps
+        # the two engines identical on unparseable timestamps.
+        .where(F.col("et").isin(*steps) & F.col("us").isNotNull())
         .groupBy("user_id")
         .agg(F.sort_array(F.collect_list(F.struct("us", "et"))).alias("seq"))
     )

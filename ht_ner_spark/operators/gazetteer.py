@@ -151,7 +151,8 @@ class TrieMatcher:
     table. Tokens never contain spaces (TOKEN_PATTERN), so the alignment
     is exact."""
 
-    def __init__(self, weights: dict[str, float], backend: str = "pure"):
+    def __init__(self, weights: dict[str, float], backend: str = "pure",
+                 prebuilt_trie: dict | None = None):
         if backend == "auto":
             backend = "ahocorasick" if HAS_AHOCORASICK else "pure"
         if backend == "ahocorasick" and not HAS_AHOCORASICK:
@@ -163,7 +164,13 @@ class TrieMatcher:
             raise ValueError(f"unknown TrieMatcher backend: {backend!r}")
         self.backend = backend
         if backend == "pure":
-            self._trie = build_trie(weights)
+            # prebuilt_trie lets callers build once on the driver and
+            # broadcast (dict tries pickle fine; match_trie does this so a
+            # large gazetteer isn't re-trie'd once per input task — the C
+            # automaton can't pickle, so the ahocorasick path always builds
+            # per-process from the broadcast weights)
+            self._trie = (prebuilt_trie if prebuilt_trie is not None
+                          else build_trie(weights))
         else:  # pragma: no cover - needs the C extension
             auto = _ahocorasick.Automaton()
             for phrase, w in weights.items():
@@ -232,15 +239,24 @@ def match_trie(corpus: DataFrame, weights: dict[str, float],
     (begin, end) per document so the output row SET and order are
     backend-independent."""
     spark = corpus.sparkSession
-    # broadcast the weights (small dimension); each executor process builds
-    # its matcher once — automatons don't pickle portably, dicts do
+    # resolve 'auto' on the driver (local/--py-files ship one env, so the
+    # driver's import probe matches the executors'), then broadcast the
+    # BUILT trie for the pure backend — dict tries pickle fine, and building
+    # per input task is O(|gazetteer|) repeated work on the engine's CPU
+    # floor (r4 review). The C automaton doesn't pickle, so the ahocorasick
+    # path broadcasts weights and builds once per executor process.
+    resolved = ("ahocorasick" if HAS_AHOCORASICK else "pure") \
+        if backend == "auto" else backend
     weights_b = spark.sparkContext.broadcast(dict(weights))
+    trie_b = spark.sparkContext.broadcast(
+        build_trie(dict(weights)) if resolved == "pure" else None)
     import re
 
     tok_re = re.compile(pattern)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        matcher = TrieMatcher(weights_b.value, backend=backend)
+        matcher = TrieMatcher(weights_b.value, backend=resolved,
+                              prebuilt_trie=trie_b.value)
         for pdf in batches:
             rows_out: list[tuple] = []
             for row_id, text in zip(pdf["row_id"], pdf[text_col]):

@@ -107,28 +107,28 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
 def _recover_compact(warehouse: str, name: str) -> None:
     """Crash recovery for compact_table's two-rename swap: if a previous
     compaction died between rename(path, old) and rename(tmp, path), the
-    table data survives under ``name__compact_old`` — restore it; leftover
-    ``__compact_old``/``__compact_tmp`` dirs beside a live table are swap
-    garbage — drop them. Called on every path-warehouse table access; the
-    common case is two negative isdir checks."""
-    import shutil
+    table data survives under ``name__compact_old`` — restore it. Called on
+    every path-warehouse table access; the common case is two negative
+    isdir checks.
 
+    Readers deliberately touch NOTHING else: a ``__compact_tmp`` dir may be
+    an in-flight compaction mid-write (deleting it from a reader would
+    truncate the new table under the compactor — the r4 review race), so
+    stale tmp dirs are cleaned only by the next compact_table call, and a
+    ``__compact_old`` beside a live path is left for the compactor's own
+    cleanup. The restore itself is try/except: two concurrent recoverers
+    (or a recoverer racing the compactor's second rename) make one rename
+    fail harmlessly."""
     path = os.path.join(warehouse, name)
     old = f"{path}__compact_old"
-    tmp = f"{path}__compact_tmp"
     if not os.path.isdir(path) and os.path.isdir(old):
         # mid-swap crash: the old table is complete (it was live before the
         # swap); the tmp may or may not be — restoring old is always safe,
         # and a redone compaction is idempotent.
-        os.rename(old, path)
-    if os.path.isdir(path):
-        for leftover in (old, tmp):
-            if os.path.isdir(leftover):
-                shutil.rmtree(leftover, ignore_errors=True)
-        tmp_meta = os.path.join(warehouse, "_meta",
-                                f"{name}__compact_tmp.json")
-        if os.path.exists(tmp_meta):
-            os.remove(tmp_meta)
+        try:
+            os.rename(old, path)
+        except OSError:
+            pass  # lost the race to another recoverer or the compactor
 
 
 def read_table(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
@@ -178,9 +178,14 @@ def compact_table(spark: SparkSession, warehouse: str, name: str,
     does not exist (a posix reader that already opened the old files keeps
     them; a reader that lists the path in that window sees it missing), and
     a crash mid-swap strands the data under ``name__compact_old``. Both are
-    handled: ``_recover_compact`` runs on every table access and restores /
-    cleans up any interrupted swap, so the table is never permanently lost
-    (ADVICE r3). On Iceberg the swap is a metadata commit and truly atomic.
+    handled: ``_recover_compact`` runs on every table access and restores a
+    missing path from ``__compact_old`` (restore only — readers never
+    delete swap dirs, so an in-flight tmp can't be truncated from under a
+    running compactor), the compactor cleans stale swap garbage at start,
+    and its second rename retries through a concurrent reader-restore. The
+    table is never permanently lost (ADVICE r3). Concurrent compactions of
+    the SAME table are unsupported (single-maintainer contract). On
+    Iceberg the swap is a metadata commit and truly atomic.
 
     The repartition count is computed from the table's ACTUAL on-disk bytes
     (parquet is already compressed — sizing from row counts over-shards
@@ -190,6 +195,16 @@ def compact_table(spark: SparkSession, warehouse: str, name: str,
 
     _recover_compact(warehouse, name)
     path = os.path.join(warehouse, name)
+    # clean swap garbage from any PREVIOUS compaction (crashed or completed
+    # under a racing reader). Only the compactor deletes these — readers
+    # never do (see _recover_compact) — and concurrent compactions of the
+    # same table are not supported (standard single-maintainer contract).
+    for stale in (f"{path}__compact_tmp", f"{path}__compact_old"):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+    stale_meta = os.path.join(warehouse, "_meta", f"{name}__compact_tmp.json")
+    if os.path.exists(stale_meta):
+        os.remove(stale_meta)
     files = [
         os.path.join(dp, f)
         for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
@@ -210,8 +225,19 @@ def compact_table(spark: SparkSession, warehouse: str, name: str,
     # the old path keep their already-opened files on posix)
     old = os.path.join(warehouse, f"{name}__compact_old")
     os.rename(path, old)
-    os.rename(os.path.join(warehouse, tmp), path)
-    shutil.rmtree(old)
+    for _ in range(5):
+        try:
+            os.rename(os.path.join(warehouse, tmp), path)
+            break
+        except OSError:
+            # a reader's _recover_compact restored old -> path inside the
+            # swap window; the restored dir is the OBSOLETE data and tmp is
+            # the complete compacted copy — clear it and retry
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                raise
+    shutil.rmtree(old, ignore_errors=True)
     # keep the stored schema/meta under the real name
     tmp_meta = os.path.join(warehouse, "_meta", f"{tmp}.json")
     if os.path.exists(tmp_meta):

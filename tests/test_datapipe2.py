@@ -379,6 +379,19 @@ def test_cohort_and_funnel_planted(spark):
     assert fun[4]["n_users"] == 1                  # only u1 purchased AFTER
     assert fun[4]["conv_rate"] == 0.3333
 
+    # NULL-timestamp events must be inert (r4 review): a NULL-ts signup
+    # sorts first and, unguarded, would pin t=NULL at k=0 and block every
+    # later step (us > NULL is NULL) — diverging from the SQL oracle's
+    # min-ignores-NULLs semantics. u4 must still complete step 2 off the
+    # valid signup, and u5 (only NULL-ts events) must count nowhere.
+    ev_null = spark.createDataFrame(
+        [(4, None, "signup"), (4, t(1, 1), "signup"), (4, t(1, 2), "view"),
+         (5, None, "signup")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    fn = {r["step"]: r["n_users"] for r in funnel(ev_null).collect()}
+    assert fn[1] == 1 and fn[2] == 1 and fn[3] == 0
+
 
 def test_bloom_screen_planted(spark):
     from ht_ner_spark.operators.textstats import bloom_screen
