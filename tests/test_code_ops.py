@@ -1,0 +1,139 @@
+"""Code-aware operators (operators/code.py): per-language import/symbol
+extraction, import-graph aggregation, hub-capped module Jaccard.
+
+The contract queries (import_graph / symbol_defs / repo_similarity) gate
+these against DuckDB on the derived code view; here we pin the REAL
+per-language regex semantics on hand-written snippets plus the cap /
+pruning knobs the contract view doesn't reach.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ht_ner_spark.operators import code as C
+
+SNIPPETS = [
+    # (row_id, repo, lang, content, expected_imports, expected_symbols)
+    (0, "r1", "python",
+     "import os\nfrom collections import deque\n"
+     "import numpy.linalg\ndef foo():\n    pass\nclass Bar:\n    pass",
+     {"os", "collections", "numpy.linalg"},
+     {("def", "foo"), ("class", "Bar")}),
+    (1, "r1", "java",
+     "package x;\nimport java.util.List;\nimport static org.junit.Assert.eq;\n"
+     "public class Baz {}\ninterface Qux {}",
+     {"java.util.List", "org.junit.Assert.eq"},
+     {("class", "Baz"), ("interface", "Qux")}),
+    (2, "r2", "go",
+     'package main\nimport (\n "fmt"\n "net/http"\n)\n'
+     "func main() {}\ntype Cfg struct{}",
+     {"fmt", "net/http"},
+     {("func", "main"), ("type", "Cfg")}),
+    (3, "r2", "js",
+     "const a = require('lodash');\nimport {x} from './util';\n"
+     "function go() {}\nclass Q {}",
+     {"lodash", "./util"},
+     {("function", "go"), ("class", "Q")}),
+    # unknown lang falls back to the python patterns
+    (4, "r3", "rust",
+     "import shim\ndef not_rust():\n    pass",
+     {"shim"},
+     {("def", "not_rust")}),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3]) for r in SNIPPETS],
+        "row_id long, repo string, lang string, content string",
+    )
+
+
+def test_extract_imports_per_language(spark, corpus):
+    got = {
+        (r["row_id"], r["module"])
+        for r in C.extract_imports(corpus).collect()
+    }
+    want = {(rid, m) for rid, _, _, _, mods, _ in SNIPPETS for m in mods}
+    assert got == want
+
+
+def test_extract_symbols_per_language(spark, corpus):
+    got = {
+        (r["row_id"], r["kind"], r["symbol"])
+        for r in C.extract_symbols(corpus).collect()
+    }
+    want = {(rid, k, s) for rid, _, _, _, _, syms in SNIPPETS for k, s in syms}
+    assert got == want
+
+
+def test_imports_deduped_per_file(spark):
+    df = spark.createDataFrame(
+        [(0, "r", "python", "import os\nimport os\nimport sys")],
+        "row_id long, repo string, lang string, content string",
+    )
+    rows = C.extract_imports(df).collect()
+    assert sorted(r["module"] for r in rows) == ["os", "sys"]
+
+
+def test_import_graph_weights_and_pruning(spark):
+    rows = [
+        (0, "r1", "python", "import a\nimport b"),
+        (1, "r1", "python", "import a"),
+        (2, "r2", "python", "import a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "row_id long, repo string, lang string, content string")
+    g = {(r["src"], r["dst"]): r["n_files"]
+         for r in C.import_graph(C.extract_imports(df)).collect()}
+    assert g == {("r1", "a"): 2, ("r1", "b"): 1, ("r2", "a"): 1}
+    pruned = C.import_graph(C.extract_imports(df), min_files=2)
+    assert [(r["src"], r["dst"]) for r in pruned.collect()] == [("r1", "a")]
+
+
+def test_module_jaccard_hub_cap(spark):
+    # hub imported by all 3 sources; pair (s1, s2) also shares "rare".
+    edges = spark.createDataFrame(
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub"),
+         ("s1", "rare"), ("s2", "rare"), ("s1", "only1")],
+        "src string, dst string",
+    )
+    # cap=2 drops "hub" (degree 3): s1={rare,only1}, s2={rare}, s3={}
+    got = {(r["src_a"], r["src_b"]): (r["inter"], r["union_sz"], r["jaccard"])
+           for r in C.module_jaccard(edges, cap=2).collect()}
+    assert got == {("s1", "s2"): (1, 2, 0.5)}
+    # cap high enough keeps the hub: all three pairs appear
+    full = C.module_jaccard(edges, cap=10)
+    assert full.count() == 3
+    j12 = full.where(
+        (F.col("src_a") == "s1") & (F.col("src_b") == "s2")
+    ).collect()[0]
+    assert (j12["inter"], j12["union_sz"], j12["jaccard"]) == (2, 3, 0.6667)
+
+
+def test_module_jaccard_threshold(spark):
+    edges = spark.createDataFrame(
+        [("s1", "a"), ("s1", "b"), ("s1", "c"), ("s2", "a")],
+        "src string, dst string",
+    )
+    assert C.module_jaccard(edges, cap=10, min_jaccard=0.5).count() == 0
+    assert C.module_jaccard(edges, cap=10, min_jaccard=0.3).count() == 1
+
+
+def test_top_symbols_rank_and_ties(spark):
+    rows = (
+        [(i, "python", "def", "zeta") for i in range(3)]
+        + [(i, "python", "def", "alpha") for i in range(3, 6)]
+        + [(6, "python", "def", "mid"), (7, "python", "class", "c1")]
+    )
+    sym = spark.createDataFrame(
+        rows, "row_id long, lang string, kind string, symbol string")
+    got = [(r["kind"], r["symbol"], r["n_defs"], r["rank"])
+           for r in C.top_symbols(sym, k=2).orderBy("kind", "rank").collect()]
+    # tie between alpha/zeta (3 defs each) broken by symbol ASC
+    assert got == [
+        ("class", "c1", 1, 1),
+        ("def", "alpha", 3, 1),
+        ("def", "zeta", 3, 2),
+    ]
