@@ -2112,6 +2112,7 @@ def queries() -> dict:
         "import_graph": q_import_graph,
         "symbol_defs": q_symbol_defs,
         "repo_similarity": q_repo_similarity,
+        "code_triples": q_code_triples,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
         # full rows+schema+hash gates like everything else:
@@ -2172,6 +2173,7 @@ def oracle_sql() -> dict:
         "import_graph": SQL_IMPORT_GRAPH,
         "symbol_defs": SQL_SYMBOL_DEFS,
         "repo_similarity": SQL_REPO_SIMILARITY,
+        "code_triples": SQL_CODE_TRIPLES,
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
@@ -4777,4 +4779,41 @@ FROM pairs
 JOIN sizes sa ON sa.src = pairs.src_a
 JOIN sizes sb ON sb.src = pairs.src_b
 WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= {_CODE_SIM_MIN_J}
+"""
+
+
+# ===========================================================================
+# 105. code-structural KG triples (stage-4 shape over code facts)
+
+def q_code_triples(spark, sf_dir):
+    t = code_ops.code_triples(_code_view(spark, sf_dir))
+    return t.select(
+        "subj", "pred", "obj",
+        F.col("n_witnesses").cast("long").alias("n_witnesses"),
+    )
+
+
+SQL_CODE_TRIPLES = f"""
+WITH {_SQL_CODE_BASE},
+e AS (
+  SELECT DISTINCT doc_id, source AS src,
+         'm_' || regexp_replace(toks[1], '[^a-z0-9_]', '', 'g') AS obj FROM ok
+  UNION
+  SELECT DISTINCT doc_id, source,
+         'm_' || regexp_replace(toks[2], '[^a-z0-9_]', '', 'g') FROM ok
+),
+s AS (
+  SELECT DISTINCT doc_id, source AS src,
+         'm_' || regexp_replace(toks[3], '[^a-z0-9_]', '', 'g') AS obj FROM ok
+  UNION
+  SELECT DISTINCT doc_id, source,
+         'm_' || regexp_replace(toks[4], '[^a-z0-9_]', '', 'g') FROM ok
+)
+SELECT src AS subj, 'imports' AS pred, obj,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_witnesses
+FROM e GROUP BY src, obj
+UNION ALL
+SELECT src AS subj, 'defines' AS pred, obj,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_witnesses
+FROM s GROUP BY src, obj
 """

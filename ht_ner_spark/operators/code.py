@@ -38,10 +38,12 @@ from pyspark.sql import functions as F
 __all__ = [
     "IMPORT_PATTERNS",
     "SYMBOL_PATTERNS",
+    "code_triples",
     "extract_imports",
     "extract_symbols",
     "import_graph",
     "module_jaccard",
+    "top_symbols",
 ]
 
 # Per-language import-statement heads.  RE2-safe (no lookaround/backrefs) so
@@ -104,8 +106,9 @@ def extract_imports(corpus: DataFrame, text_col: str = "content",
 
 
 def extract_symbols(corpus: DataFrame, text_col: str = "content",
-                    lang_col: str = "lang", id_col: str = "row_id") -> DataFrame:
-    """(id, lang, kind, symbol) — defined symbols per file.
+                    lang_col: str = "lang", id_col: str = "row_id",
+                    src_col: str = "repo") -> DataFrame:
+    """(id, src, lang, kind, symbol) — defined symbols per file.
 
     Two regexp_extract_all passes over the same combined pattern (group 1 =
     kind, group 2 = name) zipped positionally with arrays_zip — still a
@@ -116,10 +119,11 @@ def extract_symbols(corpus: DataFrame, text_col: str = "content",
     return (
         corpus.select(
             F.col(id_col).alias("row_id"),
+            F.col(src_col).alias("src"),
             F.col(lang_col).alias("lang"),
             F.explode(F.arrays_zip(kinds.alias("kind"), names.alias("symbol"))).alias("ks"),
         )
-        .select("row_id", "lang", F.col("ks.kind").alias("kind"),
+        .select("row_id", "src", "lang", F.col("ks.kind").alias("kind"),
                 F.col("ks.symbol").alias("symbol"))
     )
 
@@ -192,6 +196,39 @@ def module_jaccard(edges: DataFrame, cap: int = 15,
     if min_jaccard > 0:
         out = out.where(F.col("jaccard") >= min_jaccard)
     return out
+
+
+def code_triples(corpus: DataFrame, text_col: str = "content",
+                 lang_col: str = "lang", id_col: str = "row_id",
+                 src_col: str = "repo") -> DataFrame:
+    """Code-structural KG triples: (subj, pred, obj, n_witnesses).
+
+    * ``(repo, imports, module)`` — repo-level dependency facts;
+    * ``(repo, defines, symbol)`` — repo-level symbol inventory.
+
+    The stage-4 shape (triples.py): each arm is one hash aggregate on its
+    (subj, pred, obj) key with countDistinct(file) as the witness count —
+    the dedup and the evidence weighting happen in the same shuffle, and a
+    downstream ``repartition('pred').write.partitionBy('pred')`` keeps the
+    layout contract.  Composes the narrow extractors, so end-to-end the
+    plan is scan → regex-project → explode → two parallel aggregates →
+    union (no joins at all).
+    """
+    imp = extract_imports(corpus, text_col, lang_col, id_col, src_col)
+    sym = extract_symbols(corpus, text_col, lang_col, id_col, src_col)
+    imports_t = (
+        imp.groupBy(F.col("src").alias("subj"),
+                    F.col("module").alias("obj"))
+        .agg(F.countDistinct("row_id").alias("n_witnesses"))
+        .select("subj", F.lit("imports").alias("pred"), "obj", "n_witnesses")
+    )
+    defines_t = (
+        sym.groupBy(F.col("src").alias("subj"),
+                    F.col("symbol").alias("obj"))
+        .agg(F.countDistinct("row_id").alias("n_witnesses"))
+        .select("subj", F.lit("defines").alias("pred"), "obj", "n_witnesses")
+    )
+    return imports_t.unionByName(defines_t)
 
 
 def top_symbols(symbols: DataFrame, k: int = 3) -> DataFrame:

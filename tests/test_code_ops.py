@@ -137,3 +137,21 @@ def test_top_symbols_rank_and_ties(spark):
         ("def", "alpha", 3, 1),
         ("def", "zeta", 3, 2),
     ]
+
+
+def test_code_triples_shape_and_witnesses(spark):
+    rows = [
+        (0, "r1", "python", "import a\ndef f():\n    pass"),
+        (1, "r1", "python", "import a\ndef f():\n    pass"),
+        (2, "r2", "python", "import a\nclass f:\n    pass"),
+    ]
+    df = spark.createDataFrame(
+        rows, "row_id long, repo string, lang string, content string")
+    got = {(r["subj"], r["pred"], r["obj"]): r["n_witnesses"]
+           for r in C.code_triples(df).collect()}
+    assert got == {
+        ("r1", "imports", "a"): 2,
+        ("r2", "imports", "a"): 1,
+        ("r1", "defines", "f"): 2,
+        ("r2", "defines", "f"): 1,
+    }
