@@ -81,6 +81,9 @@ EXTRA_OPS = [
     "adamic_adar",
     "random_walks",
     "trending_events",
+    # round-4 code-aware family (same pinned-headline rule)
+    "code_triples",
+    "repo_similarity",
 ]
 
 # 600k rows: large enough that the pipeline's fixed multi-job floor (stage
