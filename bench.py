@@ -84,6 +84,7 @@ EXTRA_OPS = [
     # round-4 code-aware family (same pinned-headline rule)
     "code_triples",
     "repo_similarity",
+    "clone_pairs",
 ]
 
 # 600k rows: large enough that the pipeline's fixed multi-job floor (stage

@@ -2113,6 +2113,7 @@ def queries() -> dict:
         "symbol_defs": q_symbol_defs,
         "repo_similarity": q_repo_similarity,
         "code_triples": q_code_triples,
+        "clone_pairs": q_clone_pairs,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
         # full rows+schema+hash gates like everything else:
@@ -2174,6 +2175,7 @@ def oracle_sql() -> dict:
         "symbol_defs": SQL_SYMBOL_DEFS,
         "repo_similarity": SQL_REPO_SIMILARITY,
         "code_triples": SQL_CODE_TRIPLES,
+        "clone_pairs": SQL_CLONE_PAIRS,
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
@@ -4816,4 +4818,63 @@ UNION ALL
 SELECT src AS subj, 'defines' AS pred, obj,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_witnesses
 FROM s GROUP BY src, obj
+"""
+
+
+# ===========================================================================
+# 106. MOSS-style clone pairs (winnowing fingerprint join, hub-capped)
+
+_CLONE_MIN_SHARED = 3
+_CLONE_CAP = 50
+
+
+def q_clone_pairs(spark, sf_dir):
+    from .operators.code import clone_pairs
+
+    return clone_pairs(
+        _docs(spark, sf_dir), k=3, w=4,
+        min_shared=_CLONE_MIN_SHARED, cap=_CLONE_CAP,
+        text_col="text", id_col="doc_id",
+    ).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("shared").cast("long").alias("shared"),
+        "overlap",
+    )
+
+
+SQL_CLONE_PAIRS = f"""
+WITH base AS (
+  SELECT doc_id,
+         [w FOR w IN string_split_regex(lower(trim(text)), '\\s+')
+          IF w <> ''] AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) >= 6),
+g AS (
+  SELECT doc_id,
+         [md5(array_to_string(toks[i + 1 : i + 3], chr(31)))
+          FOR i IN range(0, n - 2)] AS gh
+  FROM nz
+),
+sel AS (
+  SELECT doc_id, list_sort(list_distinct(
+           [list_min(gh[i + 1 : i + 4])
+            FOR i IN range(0, len(gh) - 3)])) AS sel
+  FROM g
+),
+fp AS (SELECT doc_id, len(sel) AS n_sel, unnest(sel) AS f FROM sel),
+freq AS (SELECT f, count(*) AS df_count FROM fp GROUP BY f),
+kept AS (SELECT doc_id, n_sel, fp.f FROM fp JOIN freq ON fp.f = freq.f
+         WHERE df_count <= {_CLONE_CAP}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+         min(a.n_sel) AS sz_a, min(b.n_sel) AS sz_b
+  FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(shared AS BIGINT) AS shared,
+       round(CAST(shared AS DOUBLE) / least(sz_a, sz_b), 4) AS overlap
+FROM pairs WHERE shared >= {_CLONE_MIN_SHARED}
 """

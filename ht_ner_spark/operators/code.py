@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "IMPORT_PATTERNS",
     "SYMBOL_PATTERNS",
+    "clone_pairs",
     "code_triples",
     "extract_imports",
     "extract_symbols",
@@ -229,6 +230,72 @@ def code_triples(corpus: DataFrame, text_col: str = "content",
         .select("subj", F.lit("defines").alias("pred"), "obj", "n_witnesses")
     )
     return imports_t.unionByName(defines_t)
+
+
+def clone_pairs(df: DataFrame, k: int = 3, w: int = 4,
+                min_shared: int = 3, cap: int = 50,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MOSS-style clone detection (Schleimer 2003): document pairs sharing
+    >= min_shared winnowing fingerprints, with containment overlap.
+
+    (doc_a, doc_b, shared, overlap) where overlap = shared / min(|selA|,
+    |selB|) over the FULL (pre-cap) selected sets — the standard containment
+    estimate; the winnowing guarantee makes any shared token run of
+    >= k + w - 1 contribute at least one shared fingerprint.
+
+    Plan: textstats.winnow_selected (narrow, zero-shuffle) → explode →
+    fingerprint-frequency cap BEFORE the self-join (a fingerprint in d docs
+    yields d(d-1)/2 pairs; boilerplate shingles are hubs exactly like
+    gazetteer stopwords and LSH hot bands).  The cap is a COUNT WINDOW
+    partitioned by fingerprint — one exchange on f, partition sizes bounded
+    by the per-fingerprint doc frequency, and the subsequent self-join on f
+    reuses the same hash partitioning (the distinct-fingerprint table is
+    corpus-sized at 10^12 files, so a broadcast frequency dictionary is NOT
+    viable here — unlike the per-source dictionaries in module_jaccard).
+    Join keys are 32-char md5s, uniformly distributed — no skew beyond the
+    capped hubs.
+
+    The lazy localCheckpoint after winnow_selected is load-bearing:
+    exploding the winnowing array DIRECTLY re-evaluates the nested
+    higher-order-function chain (transform→slice→array_min over a
+    transform→md5 array — all CodegenFallback) pathologically inside
+    Generate, measured 30.5 s vs 0.67 s for one full evaluation of the
+    same column at sf0.01; a plain repartition barrier does NOT stop the
+    re-inlining. The checkpoint materializes one fingerprint array per
+    doc (linear in corpus, the same pattern and cost class as
+    doc_minhash_pairs' pre-self-join checkpoint) and is also what lets
+    the a/b join sides share one evaluation.
+    """
+    from .textstats import winnow_selected
+
+    sel = winnow_selected(df, k, w, text_col, id_col).localCheckpoint(
+        eager=False)
+    fp = sel.select(
+        "doc_id", F.size("sel").cast("long").alias("n_sel"),
+        F.explode("sel").alias("f"),
+    )
+    kept = (
+        fp.withColumn("df_count", F.count("*").over(Window.partitionBy("f")))
+        .where(F.col("df_count") <= cap)
+        .drop("df_count")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"),
+                    F.col("n_sel").alias("sz_a"), "f")
+    b = kept.select(F.col("doc_id").alias("doc_b"),
+                    F.col("n_sel").alias("sz_b"), "f")
+    return (
+        a.join(b, "f")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"),
+             F.min("sz_a").alias("sz_a"), F.min("sz_b").alias("sz_b"))
+        .where(F.col("shared") >= min_shared)
+        .select(
+            "doc_a", "doc_b", "shared",
+            F.round(F.col("shared") / F.least("sz_a", "sz_b"), 4)
+            .alias("overlap"),
+        )
+    )
 
 
 def top_symbols(symbols: DataFrame, k: int = 3) -> DataFrame:

@@ -526,22 +526,14 @@ def quality_deciles(df: DataFrame, text_col: str = "text",
     )
 
 
-def winnow_fingerprint(df: DataFrame, k: int = 3, w: int = 4,
-                       text_col: str = "text", id_col: str = "doc_id"
-                       ) -> DataFrame:
-    """(doc_id, n_grams, n_selected, fp_hash): winnowing fingerprints
-    (Schleimer, Wilkerson & Aiken 2003 — the MOSS local document
-    fingerprinting scheme): hash every k-gram, slide a w-hash window, keep
-    each window's minimum; the selected set is position-independent and
-    guarantees any shared run of >= k + w - 1 tokens shares a fingerprint.
-    The "hash" is the gram's md5 STRING and the window minimum is
-    lexicographic — portable across engines, no integer-conversion drift.
-    Docs too short for one window (n_tokens < k + w - 1) are filtered (no
-    gram window exists; the caller's short-doc path is exact dedup).
-
-    100 TB shape: ENTIRELY narrow — per-row array transforms (grams, md5s,
-    window mins, distinct, sort) fused into the scan; output is one row
-    per doc. Zero shuffles, zero Python."""
+def winnow_selected(df: DataFrame, k: int = 3, w: int = 4,
+                    text_col: str = "text", id_col: str = "doc_id"
+                    ) -> DataFrame:
+    """(doc_id, n_grams, sel) — the winnowing-selected fingerprint ARRAY per
+    doc (sorted, distinct md5 strings). The narrow per-row core shared by
+    winnow_fingerprint (which collapses sel to one hash) and
+    code.clone_pairs (which explodes sel to find documents sharing
+    fingerprints). Zero shuffles, zero Python."""
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != "",
@@ -562,7 +554,26 @@ def winnow_fingerprint(df: DataFrame, k: int = 3, w: int = 4,
         "doc_id",
         F.size("gh").cast("long").alias("n_grams"),
         F.array_sort(F.array_distinct(sels)).alias("sel"),
-    ).select(
+    )
+
+
+def winnow_fingerprint(df: DataFrame, k: int = 3, w: int = 4,
+                       text_col: str = "text", id_col: str = "doc_id"
+                       ) -> DataFrame:
+    """(doc_id, n_grams, n_selected, fp_hash): winnowing fingerprints
+    (Schleimer, Wilkerson & Aiken 2003 — the MOSS local document
+    fingerprinting scheme): hash every k-gram, slide a w-hash window, keep
+    each window's minimum; the selected set is position-independent and
+    guarantees any shared run of >= k + w - 1 tokens shares a fingerprint.
+    The "hash" is the gram's md5 STRING and the window minimum is
+    lexicographic — portable across engines, no integer-conversion drift.
+    Docs too short for one window (n_tokens < k + w - 1) are filtered (no
+    gram window exists; the caller's short-doc path is exact dedup).
+
+    100 TB shape: ENTIRELY narrow — per-row array transforms (grams, md5s,
+    window mins, distinct, sort) fused into the scan; output is one row
+    per doc. Zero shuffles, zero Python."""
+    return winnow_selected(df, k, w, text_col, id_col).select(
         "doc_id", "n_grams",
         F.size("sel").cast("long").alias("n_selected"),
         F.md5(F.concat_ws(",", F.col("sel"))).alias("fp_hash"),

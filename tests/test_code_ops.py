@@ -155,3 +155,31 @@ def test_code_triples_shape_and_witnesses(spark):
         ("r1", "defines", "f"): 2,
         ("r2", "defines", "f"): 1,
     }
+
+
+def test_clone_pairs_detects_shared_run(spark):
+    # docs 0/1 share a 7-token run (>= k+w-1 = 6 -> guaranteed shared
+    # fingerprint); doc 2 is disjoint.
+    shared_run = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (0, shared_run + " one two three four five"),
+        (1, "x1 y1 z1 " + shared_run + " w1 v1"),
+        (2, "p q r s t u v w x y z aa bb cc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["shared"]
+           for r in C.clone_pairs(df, min_shared=1, cap=10).collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 1
+    assert all(p == (0, 1) for p in got)
+
+
+def test_clone_pairs_cap_suppresses_hub_fingerprints(spark):
+    # every doc shares the same text -> every fingerprint has df = 4;
+    # cap=3 drops them all, cap=4 keeps them.
+    rows = [(i, "one two three four five six seven eight") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert C.clone_pairs(df, min_shared=1, cap=3).count() == 0
+    full = C.clone_pairs(df, min_shared=1, cap=4)
+    assert full.count() == 6  # all C(4,2) pairs
+    r = full.where((F.col("doc_a") == 0) & (F.col("doc_b") == 1)).first()
+    assert r["overlap"] == 1.0
