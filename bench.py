@@ -85,6 +85,8 @@ EXTRA_OPS = [
     "code_triples",
     "repo_similarity",
     "clone_pairs",
+    "call_edges",
+    "secret_scan",
 ]
 
 # 600k rows: large enough that the pipeline's fixed multi-job floor (stage

@@ -36,14 +36,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "CALL_KEYWORDS",
+    "CALL_PATTERNS",
     "IMPORT_PATTERNS",
     "SYMBOL_PATTERNS",
+    "call_edges",
     "clone_pairs",
+    "code_quality",
     "code_triples",
+    "extract_calls",
     "extract_imports",
     "extract_symbols",
     "import_graph",
     "module_jaccard",
+    "resolve_calls",
     "top_symbols",
 ]
 
@@ -66,6 +72,46 @@ SYMBOL_PATTERNS: dict[str, str] = {
     "go": r"(?m)^\s*(func|type)\s+\(?[^)\n]*?\)?\s*([A-Za-z_][A-Za-z0-9_]*)",
     "js": r"(?m)\b(function|class)\s+([A-Za-z_][A-Za-z0-9_$]*)",
 }
+
+# Per-language call-site heads.  Each pattern is a two-branch alternation:
+# the FIRST branch consumes definition sites (def/class/function headers,
+# whose name is followed by '(' and would otherwise read as a call) with NO
+# capture, so regexp_extract_all yields '' for them (Java and RE2 agree:
+# a non-participating group extracts as empty); the SECOND branch captures a
+# free identifier immediately followed by '(' that is NOT preceded by '.'
+# or a word char — method calls (obj.m(...)) are deliberately excluded
+# because a surface-name resolver cannot attribute them.  RE2-safe: plain
+# alternation, no lookaround.
+CALL_PATTERNS: dict[str, str] = {
+    "python": (r"(?m)^\s*(?:async\s+)?(?:def|class)\s+"
+               r"[A-Za-z_][A-Za-z0-9_]*\s*[(:]"
+               r"|(?:^|[^.\w])([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+    # Java declarations have no keyword on the name itself (``void m(``),
+    # so the dead branch lists the common return/declaration heads — a
+    # documented heuristic: methods returning a user type are still read
+    # as calls by a surface-name extractor.
+    "java": (r"(?m)\b(?:class|interface|enum|new|void|int|long|float|double"
+             r"|boolean|byte|short|char|String|var)"
+             r"\s+[A-Za-z_][A-Za-z0-9_]*\s*[({<]"
+             r"|(?:^|[^.\w])([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+    # The dead branch starts at `(?:^|\s)` rather than a bare `^`: the
+    # live branch can otherwise match one char EARLIER (at the newline
+    # before `func`) and win leftmost, capturing `func` as a callee.
+    "go": (r"(?m)(?:^|\s)\s*func\s+(?:\([^)\n]*\)\s*)?"
+           r"[A-Za-z_][A-Za-z0-9_]*\s*\("
+           r"|(?:^|[^.\w])([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+    "js": (r"(?m)\b(?:function|class)\s+[A-Za-z_$][A-Za-z0-9_$]*\s*[({]"
+           r"|(?:^|[^.\w])([A-Za-z_$][A-Za-z0-9_$]*)\s*\("),
+}
+
+# Control-flow / declaration keywords that syntactically precede '(' in at
+# least one covered language and must never be read as callees.
+CALL_KEYWORDS: tuple[str, ...] = (
+    "if", "elif", "while", "for", "switch", "catch", "return", "with",
+    "assert", "except", "not", "and", "or", "in", "is", "yield", "del",
+    "raise", "lambda", "case", "defer", "go", "select", "typeof", "await",
+    "void", "new", "throw", "synchronized", "function",
+)
 
 _DEFAULT_LANG = "python"
 
@@ -126,6 +172,110 @@ def extract_symbols(corpus: DataFrame, text_col: str = "content",
         )
         .select("row_id", "src", "lang", F.col("ks.kind").alias("kind"),
                 F.col("ks.symbol").alias("symbol"))
+    )
+
+
+def extract_calls(corpus: DataFrame, text_col: str = "content",
+                  lang_col: str = "lang", id_col: str = "row_id",
+                  src_col: str = "repo") -> DataFrame:
+    """(row_id, src, callee) — distinct free-function call targets per file.
+
+    Narrow plan like extract_imports: a per-language literal-CASE
+    regexp_extract_all, array_distinct, then array_except against the
+    definition-site empties ('') and the CALL_KEYWORDS blocklist (control
+    keywords like ``if (``/``while (`` match the call shape in C-family
+    languages), then one explode.  No Python, no shuffle."""
+    raw = _lang_extract(F.col(text_col), F.col(lang_col), CALL_PATTERNS, 1)
+    drop = F.array(F.lit(""), *[F.lit(k) for k in CALL_KEYWORDS])
+    return (
+        corpus.select(
+            F.col(id_col).alias("row_id"),
+            F.col(src_col).alias("src"),
+            F.array_except(F.array_distinct(raw), drop).alias("callees"),
+        )
+        .select("row_id", "src", F.explode("callees").alias("callee"))
+    )
+
+
+def resolve_calls(calls: DataFrame, symbols: DataFrame,
+                  ambiguity_cap: int = 10) -> DataFrame:
+    """Resolve call sites against the corpus symbol inventory:
+    (caller, def_repo, symbol, n_files) — repo A's files call symbol S
+    defined in repo B, witnessed by n_files distinct caller files.
+
+    The classic code-KG linking join, with the same hub discipline as
+    module_jaccard / the LSH band cap: a surface name defined in k repos
+    fans every call site out k ways, and utility names (``main``,
+    ``test``, ``init``) are defined everywhere — so symbols whose
+    definition spans more than ``ambiguity_cap`` distinct repos are
+    dropped as unresolvable BEFORE the join (standard surface-form
+    linking practice; the capped set is also the honest one — a name
+    defined in 500 repos carries no linkage signal).
+
+    Plan: distinct on (def_repo, symbol), then a symbol-partitioned COUNT
+    window for the degree cap (partition sizes bounded by per-symbol repo
+    degree; same pre-join guard shape as clone_pairs), then ONE hash join
+    keyed on the symbol string (the cap bounds per-key fan-out at
+    ambiguity_cap), then the witness aggregate.  The symbol dictionary is
+    corpus-sized at 10^12 files, so the join stays a shuffle join — AQE
+    may still broadcast it at small scale."""
+    sym = (
+        symbols.select(F.col("src").alias("def_repo"), "symbol").distinct()
+        .withColumn("n_def_repos",
+                    F.count("*").over(Window.partitionBy("symbol")))
+        .where(F.col("n_def_repos") <= ambiguity_cap)
+        .drop("n_def_repos")
+    )
+    return (
+        calls.join(sym, calls["callee"] == sym["symbol"])
+        .groupBy(F.col("src").alias("caller"), "def_repo", "symbol")
+        .agg(F.countDistinct("row_id").alias("n_files"))
+    )
+
+
+def call_edges(corpus: DataFrame, text_col: str = "content",
+               lang_col: str = "lang", id_col: str = "row_id",
+               src_col: str = "repo", ambiguity_cap: int = 10) -> DataFrame:
+    """End-to-end call-graph edges from raw source: extract_calls +
+    extract_symbols + resolve_calls.  Scan → two narrow regex projections
+    → one symbol-keyed join → one witness aggregate."""
+    c = extract_calls(corpus, text_col, lang_col, id_col, src_col)
+    s = extract_symbols(corpus, text_col, lang_col, id_col, src_col)
+    return resolve_calls(c, s, ambiguity_cap)
+
+
+def code_quality(corpus: DataFrame, text_col: str = "content",
+                 id_col: str = "row_id", max_line: int = 1000,
+                 max_avg_line: int = 100,
+                 min_alnum_frac: float = 0.25) -> DataFrame:
+    """StarCoder/The-Stack-style per-file quality stats + keep flag:
+    (row_id, n_lines, max_line_len, avg_line_len, alnum_frac, keep).
+
+    The standard pre-training file filters: minified/generated files have
+    kilobyte single lines (max_line_len), data blobs have huge average
+    lines (avg_line_len), and binary-ish/encoded files have low
+    alphanumeric fraction.  Defaults are the published StarCoder cuts.
+
+    100 TB shape: pure per-row column expressions (split + transform +
+    aggregate over the line array, one regexp_replace for the alnum
+    count) — whole-stage codegen, zero shuffle, zero Python."""
+    lines = F.split(F.col(text_col), "\n")
+    lens = F.transform(lines, lambda ln: F.length(ln))
+    n_lines = F.size(lines)
+    total = F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+    n_alnum = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", ""))
+    n_chars = F.length(F.col(text_col))
+    avg_line = F.round(total / n_lines, 4)
+    alnum = F.round(n_alnum / F.nullif(n_chars, F.lit(0)), 4)
+    return corpus.select(
+        F.col(id_col).alias("row_id"),
+        n_lines.cast("long").alias("n_lines"),
+        F.array_max(lens).cast("long").alias("max_line_len"),
+        avg_line.alias("avg_line_len"),
+        alnum.alias("alnum_frac"),
+        ((F.array_max(lens) <= max_line)
+         & (avg_line <= max_avg_line)
+         & (alnum >= min_alnum_frac)).alias("keep"),
     )
 
 

@@ -32,6 +32,46 @@ PII_CATEGORIES = [
 ]
 
 
+# Credential/secret detectors for source-code corpora (the scrub the Stack
+# v2 / BigCode pipelines run with detect-secrets/gitleaks-style regexes).
+# All RE2-safe so the identical patterns run in Spark (Java regex), DuckDB
+# and production RE2 scanners.  Fixed order, counted independently (kinds
+# never overlap textually: distinct anchors).
+SECRET_PATTERNS = [
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b"),
+    ("github_pat", r"\bghp_[A-Za-z0-9]{36}\b"),
+    ("url_credentials", r"[a-z][a-z0-9+.\-]*://[^/\s:@]+:[^/\s@]+@"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+]
+
+
+def secret_scan(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, kind, n_hits) — one row per document per secret kind with
+    at least one match; n_hits is the occurrence count of that kind.
+
+    100 TB shape: per-row regexp_count per kind assembled into an array of
+    (kind, n_hits) structs, one explode, a filter on n_hits > 0 — pure
+    whole-stage-codegen column expressions, zero shuffle, zero Python.
+    The filter means shuffle-free AND output-sparse: clean files emit
+    nothing."""
+    hits = F.array(*[
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+            .alias("n_hits"),
+        )
+        for kind, pat in SECRET_PATTERNS
+    ])
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  F.explode(hits).alias("h"))
+        .select("doc_id", F.col("h.kind").alias("kind"),
+                F.col("h.n_hits").alias("n_hits"))
+        .where(F.col("n_hits") > 0)
+    )
+
+
 def pii_scrub(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_email, n_ipv4, n_phone, clean_text): per-category match
