@@ -2117,6 +2117,9 @@ def queries() -> dict:
         "call_edges": q_call_edges,
         "code_quality": q_code_quality,
         "secret_scan": q_secret_scan,
+        "kg_diff": q_kg_diff,
+        "scd2_intervals": q_scd2_intervals,
+        "license_detect": q_license_detect,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
         # full rows+schema+hash gates like everything else:
@@ -2182,6 +2185,9 @@ def oracle_sql() -> dict:
         "call_edges": SQL_CALL_EDGES,
         "code_quality": SQL_CODE_QUALITY,
         "secret_scan": SQL_SECRET_SCAN,
+        "kg_diff": SQL_KG_DIFF,
+        "scd2_intervals": SQL_SCD2_INTERVALS,
+        "license_detect": SQL_LICENSE_DETECT,
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
@@ -5047,4 +5053,141 @@ hits AS (
   SELECT doc_id, 'private_key', 1 FROM ids WHERE doc_id % 7 = 0
 )
 SELECT doc_id, kind, CAST(n_hits AS BIGINT) AS n_hits FROM hits
+"""
+
+
+# ===========================================================================
+# 110. KG snapshot diff (two crawl epochs, full-outer CDC)
+#
+# Old snapshot = code triples over the even-doc_id half of the corpus; new
+# snapshot = the full corpus.  Every status arises naturally: odd-doc-only
+# facts are 'added', witness counts that grew are 'changed', even-only facts
+# whose witnesses are all even docs are 'unchanged'; 'removed' is exercised
+# by the unit tests (a shrinking corpus), not this growing pair.
+
+def q_kg_diff(spark, sf_dir):
+    from .operators.code import code_triples
+    from .operators.triples import diff_triples
+
+    cv = _code_view(spark, sf_dir)
+    old = code_triples(cv.where(F.col("row_id") % 2 == 0))
+    new = code_triples(cv)
+    return diff_triples(old, new).select(
+        "subj", "pred", "obj",
+        F.col("old_w").cast("long").alias("old_w"),
+        F.col("new_w").cast("long").alias("new_w"),
+        "status")
+
+
+_SQL_CODE_TRIPLES_BODY = """
+e AS (
+  SELECT DISTINCT doc_id, source AS src,
+         'm_' || regexp_replace(toks[1], '[^a-z0-9_]', '', 'g') AS obj FROM ok
+  UNION
+  SELECT DISTINCT doc_id, source,
+         'm_' || regexp_replace(toks[2], '[^a-z0-9_]', '', 'g') FROM ok
+),
+s AS (
+  SELECT DISTINCT doc_id, source AS src,
+         'm_' || regexp_replace(toks[3], '[^a-z0-9_]', '', 'g') AS obj FROM ok
+  UNION
+  SELECT DISTINCT doc_id, source,
+         'm_' || regexp_replace(toks[4], '[^a-z0-9_]', '', 'g') FROM ok
+),
+trip AS (
+  SELECT src AS subj, 'imports' AS pred, obj, doc_id FROM e
+  UNION ALL
+  SELECT src AS subj, 'defines' AS pred, obj, doc_id FROM s
+)
+"""
+
+SQL_KG_DIFF = f"""
+WITH {_SQL_CODE_BASE},
+{_SQL_CODE_TRIPLES_BODY.strip().rstrip()},
+oldt AS (
+  SELECT subj, pred, obj, count(DISTINCT doc_id) AS old_w
+  FROM trip WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3
+),
+newt AS (
+  SELECT subj, pred, obj, count(DISTINCT doc_id) AS new_w
+  FROM trip GROUP BY 1, 2, 3
+)
+SELECT coalesce(o.subj, n.subj) AS subj,
+       coalesce(o.pred, n.pred) AS pred,
+       coalesce(o.obj, n.obj) AS obj,
+       CAST(o.old_w AS BIGINT) AS old_w,
+       CAST(n.new_w AS BIGINT) AS new_w,
+       CASE WHEN o.old_w IS NULL THEN 'added'
+            WHEN n.new_w IS NULL THEN 'removed'
+            WHEN o.old_w <> n.new_w THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM oldt o FULL OUTER JOIN newt n
+  ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj
+"""
+
+
+# ===========================================================================
+# 111. SCD2 fact versioning over the event stream
+
+def q_scd2_intervals(spark, sf_dir):
+    from .operators.eventstats import scd2_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return scd2_intervals(ev).select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type",
+        "value", "valid_from", "valid_to",
+        F.col("version").cast("int").alias("version"), "is_current")
+
+
+SQL_SCD2_INTERVALS = """
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type, value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INT) AS version,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+"""
+
+
+# ===========================================================================
+# 112. license detection (SPDX header + phrase dictionary)
+#
+# The license view plants headers by doc_id modulo; the oracle derives the
+# expected identification RELATIONALLY from the construction (as with
+# secret_scan), so the gate catches both a missed header and a phantom one.
+
+def _license_view(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    header = (
+        F.when(F.col("doc_id") % 8 == 0,
+               F.lit("# SPDX-License-Identifier: MIT"))
+        .when(F.col("doc_id") % 8 == 4,
+              F.lit("# SPDX-License-Identifier: Apache-2.0"))
+        .when(F.col("doc_id") % 4 == 1,
+              F.lit('# Licensed under the Apache License, Version 2.0'))
+        .when(F.col("doc_id") % 4 == 2,
+              F.lit("# This file is part of X: GNU General Public License"))
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("row_id"),
+        F.concat_ws("\n", header, F.lit("x = 1")).alias("content"))
+
+
+def q_license_detect(spark, sf_dir):
+    from .operators.code import license_detect
+
+    return license_detect(_license_view(spark, sf_dir)).select(
+        "row_id", "license", "method")
+
+
+SQL_LICENSE_DETECT = """
+SELECT CAST(doc_id AS BIGINT) AS row_id,
+       CASE WHEN doc_id % 8 = 0 THEN 'mit'
+            WHEN doc_id % 8 = 4 THEN 'apache-2.0'
+            WHEN doc_id % 4 = 1 THEN 'apache-2.0'
+            WHEN doc_id % 4 = 2 THEN 'gpl-3.0' END AS license,
+       CASE WHEN doc_id % 4 = 0 THEN 'spdx' ELSE 'phrase' END AS method
+FROM documents
+WHERE doc_id % 4 <> 3
 """

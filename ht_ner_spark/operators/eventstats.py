@@ -196,3 +196,32 @@ def funnel(df: DataFrame, steps: list[str] | None = None,
             for i in range(len(steps))]
     return spark.createDataFrame(
         rows, "step int, name string, n_users long, conv_rate double")
+
+
+def scd2_intervals(df: DataFrame,
+                   entity_cols: tuple[str, ...] = ("user_id", "event_type"),
+                   ts_col: str = "ts", value_col: str = "value",
+                   tiebreak_col: str = "event_id") -> DataFrame:
+    """Slowly-changing-dimension (type 2) fact versioning: each event sets
+    a new version of its entity's value; emit one row per version with its
+    validity interval — (entity..., value, valid_from, valid_to, version,
+    is_current), valid_to NULL on the open current version.
+
+    This is the KG-lifecycle op for temporal facts: the same triple key
+    observed at successive crawl timestamps becomes an interval history
+    instead of a last-write-wins scalar, and a point-in-time query is a
+    plain BETWEEN on (valid_from, valid_to).
+
+    Shape at scale: ONE window partitioned by the entity key, ordered by
+    (ts, tiebreak) — partition sizes are bounded by per-entity version
+    counts (never corpus-sized), the lead() and row_number() share the
+    single sort, and there is no join at all. The deterministic tiebreak
+    makes same-timestamp writes reproducible across engines."""
+    w = Window.partitionBy(*entity_cols).orderBy(ts_col, tiebreak_col)
+    return df.select(
+        *entity_cols, value_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )

@@ -125,6 +125,34 @@ def upsert_triples(existing: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def diff_triples(old: DataFrame, new: DataFrame,
+                 weight_col: str = "n_witnesses") -> DataFrame:
+    """Snapshot diff between two KG materializations: (subj, pred, obj,
+    old_w, new_w, status) with status ∈ added | removed | changed |
+    unchanged.  The audit/lifecycle twin of upsert_triples: where upsert
+    MERGES a delta forward, diff EXPLAINS what changed between two full
+    snapshots (e.g. two crawl epochs of the source corpus) — the op a
+    continuously-rebuilt KG needs for regression detection and for
+    emitting CDC streams to downstream consumers.
+
+    Shape at scale: both sides pre-aggregate to one row per key (map-side
+    combine), then ONE full-outer shuffle join on (subj, pred, obj); both
+    inputs hash-partition on the same key, so AQE coalesces the exchanges
+    and nothing is re-shuffled.  Removed facts are exactly the rows only
+    the old side produces — the case MERGE-style upsert cannot see."""
+    key = ["subj", "pred", "obj"]
+    o = old.groupBy(*key).agg(F.sum(weight_col).alias("old_w"))
+    n = new.groupBy(*key).agg(F.sum(weight_col).alias("new_w"))
+    return o.join(n, key, "full_outer").select(
+        *key, "old_w", "new_w",
+        F.when(F.col("old_w").isNull(), F.lit("added"))
+        .when(F.col("new_w").isNull(), F.lit("removed"))
+        .when(F.col("old_w") != F.col("new_w"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
 def write_triples(triples: DataFrame, path: str, pred_partitions: int | None = None) -> None:
     out = dedup_triples(triples)
     # hash (pred, subj), never pred alone: with a handful of predicates a

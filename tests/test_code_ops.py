@@ -264,3 +264,21 @@ def test_secret_scan_patterns(spark):
            for r in secret_scan(df).collect()}
     assert got == {(0, "aws_key"): 1, (1, "github_pat"): 1,
                    (2, "url_credentials"): 1, (3, "private_key"): 1}
+
+
+def test_license_detect_spdx_wins_and_phrase_order(spark):
+    rows = [
+        (0, "# SPDX-License-Identifier: BSD-2-Clause\n"
+            "Licensed under the Apache License, Version 2.0"),  # spdx wins
+        (1, "preamble\nLicensed under the Apache License, Version 2.0\n"),
+        (2, "This program is free: GNU General Public License terms"),
+        (3, "no license here"),
+        (4, "released under the MIT License for everyone"),
+    ]
+    df = spark.createDataFrame(rows, "row_id long, content string")
+    got = {r["row_id"]: (r["license"], r["method"])
+           for r in C.license_detect(df).collect()}
+    assert got == {0: ("bsd-2-clause", "spdx"),
+                   1: ("apache-2.0", "phrase"),
+                   2: ("gpl-3.0", "phrase"),
+                   4: ("mit", "phrase")}

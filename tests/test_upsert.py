@@ -38,3 +38,45 @@ def test_contract_split_covers_all_statuses(spark):
     assert all(v > 0 for v in counts.values())
     # key set == union of both sides' keys, one row each
     assert out.count() == out.select("subj", "pred", "obj").distinct().count()
+
+
+def test_diff_triples_all_statuses(spark):
+    from ht_ner_spark.operators.triples import diff_triples
+
+    old = spark.createDataFrame(
+        [("a", "p", "x", 2), ("a", "p", "y", 1), ("b", "p", "x", 3)],
+        "subj string, pred string, obj string, n_witnesses long")
+    new = spark.createDataFrame(
+        [("a", "p", "x", 2), ("a", "p", "y", 5), ("c", "p", "z", 1)],
+        "subj string, pred string, obj string, n_witnesses long")
+    got = {(r["subj"], r["pred"], r["obj"]): (r["old_w"], r["new_w"],
+                                              r["status"])
+           for r in diff_triples(old, new).collect()}
+    assert got == {
+        ("a", "p", "x"): (2, 2, "unchanged"),
+        ("a", "p", "y"): (1, 5, "changed"),
+        ("b", "p", "x"): (3, None, "removed"),
+        ("c", "p", "z"): (None, 1, "added"),
+    }
+
+
+def test_scd2_intervals_versions(spark):
+    from datetime import datetime
+    from ht_ner_spark.operators.eventstats import scd2_intervals
+
+    rows = [
+        (1, datetime(2024, 1, 1), 10, "t", 1.0),
+        (2, datetime(2024, 1, 3), 10, "t", 2.0),
+        (3, datetime(2024, 1, 2), 10, "t", 1.5),
+        (4, datetime(2024, 1, 1), 11, "t", 9.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {(r["user_id"], r["version"]): r
+           for r in scd2_intervals(ev).collect()}
+    assert [got[(10, v)]["value"] for v in (1, 2, 3)] == [1.0, 1.5, 2.0]
+    assert got[(10, 1)]["valid_to"] == datetime(2024, 1, 2)
+    assert got[(10, 3)]["valid_to"] is None and got[(10, 3)]["is_current"]
+    assert not got[(10, 1)]["is_current"]
+    assert got[(11, 1)]["is_current"]
