@@ -2120,6 +2120,9 @@ def queries() -> dict:
         "kg_diff": q_kg_diff,
         "scd2_intervals": q_scd2_intervals,
         "license_detect": q_license_detect,
+        "pred_cardinality": q_pred_cardinality,
+        "kg_integrity": q_kg_integrity,
+        "identifier_split": q_identifier_split,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
         # full rows+schema+hash gates like everything else:
@@ -2188,6 +2191,9 @@ def oracle_sql() -> dict:
         "kg_diff": SQL_KG_DIFF,
         "scd2_intervals": SQL_SCD2_INTERVALS,
         "license_detect": SQL_LICENSE_DETECT,
+        "pred_cardinality": SQL_PRED_CARDINALITY,
+        "kg_integrity": SQL_KG_INTEGRITY,
+        "identifier_split": SQL_IDENTIFIER_SPLIT,
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
@@ -5190,4 +5196,126 @@ SELECT CAST(doc_id AS BIGINT) AS row_id,
        CASE WHEN doc_id % 4 = 0 THEN 'spdx' ELSE 'phrase' END AS method
 FROM documents
 WHERE doc_id % 4 <> 3
+"""
+
+
+# ===========================================================================
+# 113. per-predicate ontology profile (functional-property audit)
+
+def q_pred_cardinality(spark, sf_dir):
+    from .operators.code import code_triples
+    from .operators.triples import pred_profile
+
+    return pred_profile(code_triples(_code_view(spark, sf_dir))).select(
+        "pred",
+        F.col("n_facts").cast("long").alias("n_facts"),
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.col("n_objects").cast("long").alias("n_objects"),
+        F.col("max_fanout").cast("long").alias("max_fanout"),
+        "avg_fanout", "is_functional")
+
+
+# ===========================================================================
+# 114. referential-integrity audit (unresolved imports vs defined symbols)
+
+def q_kg_integrity(spark, sf_dir):
+    from .operators.code import code_triples
+    from .operators.triples import dangling_refs
+
+    t = code_triples(_code_view(spark, sf_dir))
+    return dangling_refs(t, ref_pred="imports", def_pred="defines").select(
+        "obj", F.col("n_refs").cast("long").alias("n_refs"), "resolved")
+
+
+# ===========================================================================
+# 115. identifier word-splitting (camelCase/snake_case surface forms)
+#
+# The identifier view derives PascalCase and snake_case identifiers from the
+# doc tokens, so the expected word multiset is exactly the cleaned tokens —
+# but both engines COMPUTE it through their own regex/split pipelines, so a
+# boundary-rule divergence in either engine fails the value hash.
+
+def q_identifier_split(spark, sf_dir):
+    from .operators.code import split_identifiers
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def clean(i: int):
+        return F.regexp_replace(F.element_at(toks, i), "[^a-z0-9_]", "")
+
+    def cap(c):
+        return F.concat(F.upper(F.substring(c, 1, 1)),
+                        F.substring(c, 2, 1 << 30))
+
+    t1, t2, t3, t4 = clean(1), clean(2), clean(3), clean(4)
+    camel = F.concat(t1, cap(t2), cap(t3))       # parseHttpServer shape
+    snake = F.concat(t2, F.lit("_"), t4)         # parse_server shape
+    idents = (d.where(F.size(toks) >= 4)
+              .select(F.explode(F.array(camel, snake)).alias("ident")))
+    parts = split_identifiers(idents, ident_col="ident")
+    return (parts.select(F.explode("parts").alias("word"))
+            .groupBy("word").agg(F.count("*").alias("n")))
+
+
+SQL_IDENTIFIER_SPLIT = f"""
+WITH {_SQL_CODE_BASE},
+c AS (
+  SELECT regexp_replace(toks[1], '[^a-z0-9_]', '', 'g') AS t1,
+         regexp_replace(toks[2], '[^a-z0-9_]', '', 'g') AS t2,
+         regexp_replace(toks[3], '[^a-z0-9_]', '', 'g') AS t3,
+         regexp_replace(toks[4], '[^a-z0-9_]', '', 'g') AS t4
+  FROM ok
+),
+idents AS (
+  SELECT t1 || upper(substr(t2, 1, 1)) || substr(t2, 2)
+            || upper(substr(t3, 1, 1)) || substr(t3, 2) AS ident FROM c
+  UNION ALL
+  SELECT t2 || '_' || t4 FROM c
+),
+words AS (
+  SELECT unnest(list_filter(
+    string_split_regex(lower(
+      regexp_replace(
+        regexp_replace(ident, '([A-Z]+)([A-Z][a-z])', '\\1_\\2', 'g'),
+        '([a-z0-9])([A-Z])', '\\1_\\2', 'g')), '_+'),
+    x -> x <> '')) AS word
+  FROM idents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY word
+"""
+
+
+SQL_PRED_CARDINALITY = f"""
+WITH {_SQL_CODE_BASE},
+{_SQL_CODE_TRIPLES_BODY.strip()},
+t AS (SELECT DISTINCT subj, pred, obj FROM trip),
+ps AS (SELECT pred, subj, count(*) AS fanout FROM t GROUP BY 1, 2),
+prof AS (
+  SELECT pred, CAST(sum(fanout) AS BIGINT) AS n_facts,
+         CAST(count(*) AS BIGINT) AS n_subjects,
+         CAST(max(fanout) AS BIGINT) AS max_fanout,
+         round(avg(fanout), 4) AS avg_fanout,
+         max(fanout) = 1 AS is_functional
+  FROM ps GROUP BY pred
+)
+SELECT prof.pred, n_facts, n_subjects,
+       CAST(o.n_objects AS BIGINT) AS n_objects,
+       max_fanout, avg_fanout, is_functional
+FROM prof JOIN (
+  SELECT pred, count(DISTINCT obj) AS n_objects FROM t GROUP BY pred
+) o ON prof.pred = o.pred
+"""
+
+
+SQL_KG_INTEGRITY = f"""
+WITH {_SQL_CODE_BASE},
+{_SQL_CODE_TRIPLES_BODY.strip()},
+t AS (SELECT DISTINCT subj, pred, obj FROM trip),
+refs AS (SELECT obj, count(DISTINCT subj) AS n_refs
+         FROM t WHERE pred = 'imports' GROUP BY obj),
+defs AS (SELECT DISTINCT obj FROM t WHERE pred = 'defines')
+SELECT r.obj, CAST(r.n_refs AS BIGINT) AS n_refs,
+       (d.obj IS NOT NULL) AS resolved
+FROM refs r LEFT JOIN defs d ON r.obj = d.obj
 """

@@ -51,6 +51,7 @@ __all__ = [
     "license_detect",
     "module_jaccard",
     "resolve_calls",
+    "split_identifiers",
     "top_symbols",
 ]
 
@@ -318,6 +319,32 @@ def license_detect(corpus: DataFrame, text_col: str = "content",
                       method.alias("method"))
         .where(F.col("license").isNotNull())
     )
+
+
+# Word boundaries inside identifiers, applied in order: the acronym rule
+# first (HTTPServer -> HTTP_Server) so the simple rule then sees a clean
+# lower->Upper edge (parseHTTP_Server -> parse_HTTP_Server).  RE2-safe —
+# plain capture groups, no lookaround — so the DuckDB oracle runs the
+# literal same patterns.
+IDENT_ACRONYM_RE = "([A-Z]+)([A-Z][a-z])"
+IDENT_CAMEL_RE = "([a-z0-9])([A-Z])"
+
+
+def split_identifiers(df: DataFrame, ident_col: str = "symbol",
+                      out_col: str = "parts") -> DataFrame:
+    """Append ``out_col``: the identifier's lower-cased word parts —
+    camelCase / PascalCase / snake_case / SCREAMING_SNAKE all normalize to
+    the same word sequence (``parseHTTPServer`` and ``parse_http_server``
+    both -> [parse, http, server]).  This is the surface-form normalizer
+    for NER over code: mention matching, gazetteer lookup, and subtoken
+    vocabularies all operate on these parts rather than raw identifiers.
+
+    100 TB shape: two regexp_replace + lower + split + filter — pure
+    per-row codegen expressions, zero shuffle, zero Python."""
+    s = F.regexp_replace(F.col(ident_col), IDENT_ACRONYM_RE, r"$1_$2")
+    s = F.regexp_replace(s, IDENT_CAMEL_RE, r"$1_$2")
+    parts = F.filter(F.split(F.lower(s), "_+"), lambda x: x != "")
+    return df.withColumn(out_col, parts)
 
 
 def import_graph(imports: DataFrame, min_files: int = 1) -> DataFrame:

@@ -153,6 +153,59 @@ def diff_triples(old: DataFrame, new: DataFrame,
     )
 
 
+def pred_profile(triples: DataFrame) -> DataFrame:
+    """Per-predicate ontology profile: (pred, n_facts, n_subjects,
+    n_objects, max_fanout, avg_fanout, is_functional) — the schema-audit
+    pass a continuously-built KG runs after every materialization.
+    ``is_functional`` flags predicates where no subject has more than one
+    object, i.e. candidates for a functional-property constraint; a later
+    epoch breaking that flag (via diff on this profile) is a data-quality
+    regression signal.
+
+    Shape at scale: one (pred, subj) aggregate whose partial (map-side)
+    combine collapses duplicate facts before the shuffle, re-aggregated by
+    pred; the distinct-object count is a second two-phase aggregate Spark
+    plans as (pred, obj)-keyed partials, so neither pass shuffles on the
+    low-cardinality pred key alone.  Output is |preds| rows — tiny."""
+    per_subj = triples.groupBy("pred", "subj").agg(
+        F.countDistinct("obj").alias("fanout"))
+    prof = per_subj.groupBy("pred").agg(
+        F.sum("fanout").alias("n_facts"),
+        F.count("*").alias("n_subjects"),
+        F.max("fanout").alias("max_fanout"),
+        F.round(F.avg("fanout"), 4).alias("avg_fanout"),
+    ).withColumn("is_functional", F.col("max_fanout") == 1)
+    n_obj = triples.groupBy("pred").agg(
+        F.countDistinct("obj").alias("n_objects"))
+    return prof.join(n_obj, "pred").select(
+        "pred", "n_facts", "n_subjects", "n_objects",
+        "max_fanout", "avg_fanout", "is_functional")
+
+
+def dangling_refs(triples: DataFrame, ref_pred: str = "imports",
+                  def_pred: str = "defines") -> DataFrame:
+    """Referential-integrity audit: for every object referenced through
+    ``ref_pred``, is it defined anywhere through ``def_pred``?  Returns
+    (obj, n_refs, resolved) — n_refs = distinct referencing subjects,
+    resolved = the object also appears as a ``def_pred`` object.  Over the
+    code KG this is the unresolved-external-dependency report (modules
+    imported but defined in no crawled repo); over an entity KG it is the
+    dangling-node audit that gates an embedding-training export.
+
+    Shape at scale: the reference side pre-aggregates to one row per obj
+    (map-side combine), the definition side reduces to a distinct obj
+    dimension, then ONE left join keyed on obj — AQE broadcasts the
+    definition set when it is small and falls back to a co-partitioned
+    hash join when it is corpus-sized."""
+    refs = (triples.where(F.col("pred") == ref_pred)
+            .groupBy("obj").agg(F.countDistinct("subj").alias("n_refs")))
+    defs = (triples.where(F.col("pred") == def_pred)
+            .select("obj").distinct().withColumn("resolved", F.lit(True)))
+    return refs.join(defs, "obj", "left").select(
+        "obj", "n_refs",
+        F.coalesce(F.col("resolved"), F.lit(False)).alias("resolved"))
+
+
 def write_triples(triples: DataFrame, path: str, pred_partitions: int | None = None) -> None:
     out = dedup_triples(triples)
     # hash (pred, subj), never pred alone: with a handful of predicates a

@@ -282,3 +282,19 @@ def test_license_detect_spdx_wins_and_phrase_order(spark):
                    1: ("apache-2.0", "phrase"),
                    2: ("gpl-3.0", "phrase"),
                    4: ("mit", "phrase")}
+
+
+def test_split_identifiers_all_conventions(spark):
+    rows = [(0, "parseHTTPServer"), (1, "parse_http_server"),
+            (2, "ParseHttpServer"), (3, "MAX_RETRIES"), (4, "v2Parser"),
+            (5, "_private_x"), (6, "simple")]
+    df = spark.createDataFrame(rows, "row_id long, symbol string")
+    got = {r["row_id"]: r["parts"]
+           for r in C.split_identifiers(df).collect()}
+    assert got[0] == ["parse", "http", "server"]
+    assert got[1] == ["parse", "http", "server"]
+    assert got[2] == ["parse", "http", "server"]
+    assert got[3] == ["max", "retries"]
+    assert got[4] == ["v2", "parser"]
+    assert got[5] == ["private", "x"]
+    assert got[6] == ["simple"]

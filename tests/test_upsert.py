@@ -80,3 +80,34 @@ def test_scd2_intervals_versions(spark):
     assert got[(10, 3)]["valid_to"] is None and got[(10, 3)]["is_current"]
     assert not got[(10, 1)]["is_current"]
     assert got[(11, 1)]["is_current"]
+
+
+def test_pred_profile_functional_flag(spark):
+    from ht_ner_spark.operators.triples import pred_profile
+
+    t = spark.createDataFrame(
+        [("a", "imports", "x", 1), ("a", "imports", "y", 1),
+         ("b", "imports", "x", 2),
+         ("a", "lang_is", "python", 1), ("b", "lang_is", "go", 1)],
+        "subj string, pred string, obj string, n_witnesses long")
+    got = {r["pred"]: r for r in pred_profile(t).collect()}
+    imp, lng = got["imports"], got["lang_is"]
+    assert (imp["n_facts"], imp["n_subjects"], imp["n_objects"]) == (3, 2, 2)
+    assert imp["max_fanout"] == 2 and not imp["is_functional"]
+    assert imp["avg_fanout"] == 1.5
+    assert lng["is_functional"] and lng["max_fanout"] == 1
+    assert (lng["n_facts"], lng["n_subjects"], lng["n_objects"]) == (2, 2, 2)
+
+
+def test_dangling_refs_resolution(spark):
+    from ht_ner_spark.operators.triples import dangling_refs
+
+    t = spark.createDataFrame(
+        [("a", "imports", "m1", 1), ("b", "imports", "m1", 1),
+         ("a", "imports", "m2", 1),
+         ("c", "defines", "m1", 1), ("c", "defines", "m9", 1)],
+        "subj string, pred string, obj string, n_witnesses long")
+    got = {r["obj"]: (r["n_refs"], r["resolved"])
+           for r in dangling_refs(t).collect()}
+    # m9 is defined but never referenced: absent (the audit is ref-driven)
+    assert got == {"m1": (2, True), "m2": (1, False)}
