@@ -2123,6 +2123,8 @@ def queries() -> dict:
         "pred_cardinality": q_pred_cardinality,
         "kg_integrity": q_kg_integrity,
         "identifier_split": q_identifier_split,
+        "kg_asof": q_kg_asof,
+        "alias_canonical": q_alias_canonical,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
         # full rows+schema+hash gates like everything else:
@@ -2194,6 +2196,8 @@ def oracle_sql() -> dict:
         "pred_cardinality": SQL_PRED_CARDINALITY,
         "kg_integrity": SQL_KG_INTEGRITY,
         "identifier_split": SQL_IDENTIFIER_SPLIT,
+        "kg_asof": SQL_KG_ASOF,
+        "alias_canonical": SQL_ALIAS_CANONICAL,
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
@@ -5318,4 +5322,98 @@ defs AS (SELECT DISTINCT obj FROM t WHERE pred = 'defines')
 SELECT r.obj, CAST(r.n_refs AS BIGINT) AS n_refs,
        (d.obj IS NOT NULL) AS resolved
 FROM refs r LEFT JOIN defs d ON r.obj = d.obj
+"""
+
+
+# ===========================================================================
+# 116. point-in-time KG snapshot (time travel over the temporal facts)
+
+_ASOF_SNAPSHOT_TS = "2024-01-15 00:00:00"
+
+
+def q_kg_asof(spark, sf_dir):
+    from .operators.eventstats import snapshot_at
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return snapshot_at(ev, _ASOF_SNAPSHOT_TS).select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type",
+        "value", "valid_from", F.col("version").cast("long").alias("version"))
+
+
+SQL_KG_ASOF = f"""
+SELECT user_id, event_type, value, valid_from, version FROM (
+  SELECT CAST(user_id AS BIGINT) AS user_id, event_type, value,
+         ts AS valid_from,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         row_number() OVER w2 AS rn
+  FROM events WHERE ts <= TIMESTAMP '{_ASOF_SNAPSHOT_TS}'
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+         w2 AS (PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC)
+) WHERE rn = 1
+"""
+
+
+# ===========================================================================
+# 117. alias canonicalization over identifier surface forms (stage-3 shape)
+#
+# The view derives three casings of the same token pair per doc — camelCase,
+# snake_case, PascalCase — so variants genuinely collapse; both engines run
+# the full split pipeline on the surfaces, so a boundary-rule divergence
+# fails the hash.
+
+def q_alias_canonical(spark, sf_dir):
+    from .operators.code import canonical_aliases
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def clean(i: int):
+        return F.regexp_replace(F.element_at(toks, i), "[^a-z0-9_]", "")
+
+    def cap(c):
+        return F.concat(F.upper(F.substring(c, 1, 1)),
+                        F.substring(c, 2, 1 << 30))
+
+    t1, t2 = clean(1), clean(2)
+    surfaces = F.array(
+        F.concat(t1, cap(t2)),                  # camelCase
+        F.concat(t1, F.lit("_"), t2),           # snake_case
+        F.concat(cap(t1), cap(t2)),             # PascalCase
+    )
+    idents = (d.where(F.size(toks) >= 4)
+              .select(F.explode(surfaces).alias("symbol")))
+    out = canonical_aliases(idents)
+    return out.select(
+        "canonical", F.col("n_variants").cast("long").alias("n_variants"),
+        "variants")
+
+
+SQL_ALIAS_CANONICAL = f"""
+WITH {_SQL_CODE_BASE},
+c AS (
+  SELECT regexp_replace(toks[1], '[^a-z0-9_]', '', 'g') AS t1,
+         regexp_replace(toks[2], '[^a-z0-9_]', '', 'g') AS t2
+  FROM ok
+),
+surf AS (
+  SELECT DISTINCT symbol FROM (
+    SELECT t1 || upper(substr(t2, 1, 1)) || substr(t2, 2) AS symbol FROM c
+    UNION ALL SELECT t1 || '_' || t2 FROM c
+    UNION ALL SELECT upper(substr(t1, 1, 1)) || substr(t1, 2)
+                  || upper(substr(t2, 1, 1)) || substr(t2, 2) FROM c
+  )
+),
+canon AS (
+  SELECT symbol, array_to_string(list_filter(
+    string_split_regex(lower(
+      regexp_replace(
+        regexp_replace(symbol, '([A-Z]+)([A-Z][a-z])', '\\1_\\2', 'g'),
+        '([a-z0-9])([A-Z])', '\\1_\\2', 'g')), '_+'),
+    x -> x <> ''), '_') AS canonical
+  FROM surf
+)
+SELECT canonical, CAST(count(*) AS BIGINT) AS n_variants,
+       string_agg(symbol, ',' ORDER BY symbol) AS variants
+FROM canon GROUP BY canonical
 """

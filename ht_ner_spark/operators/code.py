@@ -41,6 +41,7 @@ __all__ = [
     "IMPORT_PATTERNS",
     "SYMBOL_PATTERNS",
     "call_edges",
+    "canonical_aliases",
     "clone_pairs",
     "code_quality",
     "code_triples",
@@ -345,6 +346,29 @@ def split_identifiers(df: DataFrame, ident_col: str = "symbol",
     s = F.regexp_replace(s, IDENT_CAMEL_RE, r"$1_$2")
     parts = F.filter(F.split(F.lower(s), "_+"), lambda x: x != "")
     return df.withColumn(out_col, parts)
+
+
+def canonical_aliases(symbols: DataFrame,
+                      ident_col: str = "symbol") -> DataFrame:
+    """Alias canonicalization over identifier surface forms: variants that
+    share the same word sequence (``parseHTTPServer``,
+    ``parse_http_server``, ``ParseHttpServer``) collapse to one canonical
+    entity (``parse_http_server``).  Returns (canonical, n_variants,
+    variants) with variants the sorted comma-joined surface list — the
+    alias table the stage-3 canonicalizer feeds entity cards from, the
+    code-KG analog of HT-NER's name-variant merging.
+
+    Shape at scale: the split is per-row codegen (split_identifiers), then
+    one distinct on the surface form (map-side combine) and one groupBy on
+    the canonical key.  No join; variant lists are bounded by casing
+    conventions (a handful per canonical), so collect_set stays tiny."""
+    surf = symbols.select(F.col(ident_col).alias("symbol")).distinct()
+    canon = split_identifiers(surf, ident_col="symbol").select(
+        "symbol", F.array_join("parts", "_").alias("canonical"))
+    return canon.groupBy("canonical").agg(
+        F.count("*").alias("n_variants"),
+        F.array_join(F.sort_array(F.collect_set("symbol")), ",")
+        .alias("variants"))
 
 
 def import_graph(imports: DataFrame, min_files: int = 1) -> DataFrame:

@@ -225,3 +225,33 @@ def scd2_intervals(df: DataFrame,
         F.row_number().over(w).alias("version"),
         F.lead(ts_col).over(w).isNull().alias("is_current"),
     )
+
+
+def snapshot_at(df, at: str,
+                entity_cols: tuple[str, ...] = ("user_id", "event_type"),
+                ts_col: str = "ts", value_col: str = "value",
+                tiebreak_col: str = "event_id") -> DataFrame:
+    """Point-in-time reconstruction: each entity's live version as of
+    timestamp ``at`` — (entity..., value, valid_from, version), i.e. the
+    row scd2_intervals would select with valid_from <= at < valid_to.
+    This is the time-travel query of the temporal KG: 'what did the graph
+    assert at epoch T' without materializing the full interval history.
+
+    Shape at scale: deliberately NOT a window — one filter (pushed into
+    the scan as a ts predicate, so partition pruning on a ts-partitioned
+    table skips later epochs entirely) + one entity-keyed aggregate whose
+    max(struct(ts, tiebreak, value)) picks the latest version with
+    map-side partial combine; version = the event count, matching
+    scd2_intervals' counter.  No join, no sort."""
+    cutoff = F.to_timestamp(F.lit(at))
+    last = F.max(F.struct(
+        F.col(ts_col), F.col(tiebreak_col), F.col(value_col))).alias("last")
+    return (
+        df.where(F.col(ts_col) <= cutoff)
+        .groupBy(*entity_cols)
+        .agg(last, F.count("*").alias("version"))
+        .select(*entity_cols,
+                F.col(f"last.{value_col}").alias(value_col),
+                F.col(f"last.{ts_col}").alias("valid_from"),
+                "version")
+    )

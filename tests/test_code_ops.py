@@ -298,3 +298,16 @@ def test_split_identifiers_all_conventions(spark):
     assert got[4] == ["v2", "parser"]
     assert got[5] == ["private", "x"]
     assert got[6] == ["simple"]
+
+
+def test_canonical_aliases_collapse_casings(spark):
+    df = spark.createDataFrame(
+        [(s,) for s in ["parseHTTPServer", "parse_http_server",
+                        "ParseHttpServer", "parse_http_server",  # dup surface
+                        "otherThing"]],
+        "symbol string")
+    got = {r["canonical"]: (r["n_variants"], r["variants"])
+           for r in C.canonical_aliases(df).collect()}
+    assert got["parse_http_server"] == (
+        3, "ParseHttpServer,parseHTTPServer,parse_http_server")
+    assert got["other_thing"] == (1, "otherThing")

@@ -111,3 +111,36 @@ def test_dangling_refs_resolution(spark):
            for r in dangling_refs(t).collect()}
     # m9 is defined but never referenced: absent (the audit is ref-driven)
     assert got == {"m1": (2, True), "m2": (1, False)}
+
+
+def test_snapshot_at_matches_scd2_interval(spark):
+    from datetime import datetime
+    from ht_ner_spark.operators.eventstats import scd2_intervals, snapshot_at
+
+    rows = [
+        (1, datetime(2024, 1, 1), 10, "t", 1.0),
+        (2, datetime(2024, 1, 3), 10, "t", 2.0),
+        (3, datetime(2024, 1, 2), 10, "t", 1.5),
+        (4, datetime(2024, 1, 5), 11, "t", 9.0),   # after the cutoff
+        (5, datetime(2024, 1, 2), 12, "u", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    at = "2024-01-02 12:00:00"
+    snap = {(r["user_id"], r["event_type"]):
+            (r["value"], r["valid_from"], r["version"])
+            for r in snapshot_at(ev, at).collect()}
+    assert snap == {
+        (10, "t"): (1.5, datetime(2024, 1, 2), 2),
+        (12, "u"): (7.0, datetime(2024, 1, 2), 1),
+    }
+    # property: equals the SCD2 interval containing `at`
+    cutoff = datetime(2024, 1, 2, 12)
+    iv = scd2_intervals(ev)
+    live = {(r["user_id"], r["event_type"]):
+            (r["value"], r["valid_from"], r["version"])
+            for r in iv.collect()
+            if r["valid_from"] <= cutoff
+            and (r["valid_to"] is None or r["valid_to"] > cutoff)}
+    assert snap == live
