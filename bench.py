@@ -87,6 +87,12 @@ EXTRA_OPS = [
     "clone_pairs",
     "call_edges",
     "secret_scan",
+    # round-4 KG-lifecycle family
+    "kg_diff",
+    "kg_asof",
+    "scd2_intervals",
+    "alias_canonical",
+    "pred_cardinality",
 ]
 
 # 600k rows: large enough that the pipeline's fixed multi-job floor (stage
