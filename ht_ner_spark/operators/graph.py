@@ -26,14 +26,14 @@ Scale notes (100 TB posture):
   with localCheckpoint every ``checkpoint_every`` rounds (components.py
   learned this the hard way — an unbounded iterative plan OOMs the planner
   long before the data hurts).
-* triangle counting's first join produces the wedge frame; id-ordering
-  (edges stored u < v) bounds it by sum over b of in(b)*out(b), which still
-  explodes on co-occurrence cliques (every shared object makes one). The
-  wedge join therefore re-orients each edge from the lower-(degree, id)
-  endpoint to the higher one — node-iterator++ (Suri & Vassilvitskii,
-  WWW'11) — which caps every out-degree at O(sqrt(m)) and the wedge frame
-  at O(m^1.5) regardless of hubs. Triangle counts are identical under any
-  total-order orientation, so the DuckDB oracle keeps the id-ordered form.
+* triangle counting re-orients each edge from the lower-(degree, id)
+  endpoint to the higher one (Suri & Vassilvitskii, WWW'11), capping every
+  out-degree at O(sqrt(m)), then counts per EDGE as |N+(s) ∩ N+(t)| with
+  out-neighborhoods collected into arrays — the O(m^1.5) wedge work happens
+  inside a per-row hash-set array_intersect instead of a materialized
+  wedge-frame join + semi-join (co-occurrence cliques make tens of millions
+  of wedges). Triangle counts are identical under any total-order
+  orientation, so the DuckDB oracle keeps the id-ordered join form.
 """
 
 from __future__ import annotations
@@ -77,59 +77,82 @@ def triangle_summary(triples: DataFrame) -> DataFrame:
     (n_nodes, n_edges, n_triangles, max_degree).
 
     n_nodes counts distinct subjects of the KG (isolated ones included);
-    triangles are counted once each via the degree-ordered wedge join
-    (node-iterator++): every undirected edge is oriented from its
-    lower-(degree, id) endpoint to the higher one, wedges pair two
-    out-edges at a common apex, and a semi-join against the closing
-    oriented edge keeps only closed wedges. Any total-order orientation
-    counts each triangle exactly once; degree order additionally bounds
-    each out-degree at O(sqrt(m)), so the wedge frame is O(m^1.5) even
-    when the co-occurrence projection contains hub cliques.
+    triangles are counted once each via the degree-ordered edge iterator:
+    every undirected edge is oriented from its lower-(degree, id) endpoint
+    to the higher one — any total-order orientation counts each triangle
+    exactly once, at its unique (s, t) base edge as |N+(s) ∩ N+(t)| — and
+    degree order bounds each out-degree at O(sqrt(m)), so the total
+    intersection work is O(m^1.5) even when the co-occurrence projection
+    contains hub cliques, with no wedge frame ever materialized.
     """
     # the incoming frame's lineage is the whole KG pipeline; it is consumed
     # twice below (projection + n_nodes), so materialize it once
     triples = triples.localCheckpoint()
     edges, _ = copair_edges(triples)
-    edges = edges.localCheckpoint()  # 4 consumers below — scan once
+    edges = edges.localCheckpoint()  # 3 consumers below — scan once
+    # Integer-encode nodes before the heavy phase: the hot loop below
+    # shuffles and intersects NEIGHBOR ARRAYS, and a long element is one
+    # word where a string id is a fat pointer + bytes — standard graph-
+    # engine practice.  monotonically_increasing_id is collision-free; the
+    # triangle count is invariant under ANY total order of ids, so the
+    # code assignment being run-dependent is harmless (and the oracle's
+    # id-ordered form agrees on the count for the same reason).
+    codes = (
+        edges.select(F.col("u").alias("name"))
+        .unionAll(edges.select("v")).distinct()
+        .withColumn("code", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    ce = (
+        edges.join(codes.select(F.col("name").alias("u"),
+                                F.col("code").alias("cu")), "u")
+        .join(codes.select(F.col("name").alias("v"),
+                           F.col("code").alias("cv")), "v")
+        .select("cu", "cv")
+    )
     deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select("v"))
+        ce.select(F.col("cu").alias("n"))
+        .unionAll(ce.select("cv"))
         .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
     )
-    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
-    # orient u->v when (du, u) < (dv, v); edges already satisfy u < v, so
-    # the id tiebreak keeps the stored direction on equal degrees
+    du = deg.select(F.col("n").alias("cu"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("cv"), F.col("d").alias("dv"))
+    # orient u->v when (du, u) < (dv, v): degree first, code tiebreak
     fwd = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        (F.col("du") == F.col("dv")) & (F.col("cu") < F.col("cv")))
     oriented = (
-        edges.join(du, "u").join(dv, "v")
+        ce.join(du, "cu").join(dv, "cv")
         .select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(fwd, F.struct(F.col("dv").alias("d"),
-                                 F.col("v").alias("n")))
-            .otherwise(F.struct(F.col("du").alias("d"),
-                                F.col("u").alias("n"))).alias("kt"),
+            F.when(fwd, F.col("cu")).otherwise(F.col("cv")).alias("s"),
+            F.when(fwd, F.col("cv")).otherwise(F.col("cu")).alias("t"),
         )
-        .localCheckpoint()  # apex join consumes it twice + closing semi-join
+        .localCheckpoint()  # neighbor agg + both sides of the edge join
     )
-    wedges = (
-        oriented.alias("e1")
-        .join(oriented.alias("e2"),
-              (F.col("e1.s") == F.col("e2.s"))
-              & (F.col("e1.kt") < F.col("e2.kt")))
-        .select(F.col("e1.t").alias("a"), F.col("e2.t").alias("c"))
-    )
-    closed = wedges.join(
-        oriented.alias("e3"),
-        (F.col("a") == F.col("e3.s")) & (F.col("c") == F.col("e3.t")),
-        "left_semi",
+    # edge-iterator over the SAME orientation: each triangle's unique
+    # topological (s -> t -> w, s -> w) ordering is counted once at edge
+    # (s, t) as |N+(s) ∩ N+(t)|.  Collecting N+ as an array (bounded at
+    # O(sqrt(m)) by the degree orientation) keeps the O(m^1.5) wedge work
+    # INSIDE a per-row hash-set array_intersect instead of materializing
+    # the wedge frame through a join + semi-join shuffle — on clique-ish
+    # co-occurrence projections (a low-cardinality shared object makes
+    # one) that removes tens of millions of shuffled wedge rows; the
+    # neighbor dimension is |nodes| rows, which AQE broadcasts when small.
+    nbrs = oriented.groupBy("s").agg(F.collect_list("t").alias("nb"))
+    empty = F.array().cast("array<long>")
+    per_edge = (
+        oriented.select("s", "t")
+        .join(nbrs.select(F.col("s").alias("js"), F.col("nb").alias("nb_s")),
+              F.col("s") == F.col("js"))
+        .join(nbrs.select(F.col("s").alias("jt"), F.col("nb").alias("nb_t")),
+              F.col("t") == F.col("jt"), "left")
+        .select(F.size(F.array_intersect(
+            F.col("nb_s"), F.coalesce(F.col("nb_t"), empty))).alias("k"))
     )
     n_nodes = triples.agg(
         F.countDistinct("subj").cast("long").alias("n_nodes"))
     n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_tri = per_edge.agg(F.coalesce(F.sum("k"), F.lit(0))
+                         .cast("long").alias("n_triangles"))
     max_deg = deg.agg(
         F.coalesce(F.max("d"), F.lit(0)).cast("long").alias("max_degree"))
     # four 1-row aggregates -> one summary row (cross of singletons, no data
