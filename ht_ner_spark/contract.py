@@ -5113,7 +5113,7 @@ trip AS (
 
 SQL_KG_DIFF = f"""
 WITH {_SQL_CODE_BASE},
-{_SQL_CODE_TRIPLES_BODY.strip().rstrip()},
+{_SQL_CODE_TRIPLES_BODY.strip()},
 oldt AS (
   SELECT subj, pred, obj, count(DISTINCT doc_id) AS old_w
   FROM trip WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3
@@ -5156,6 +5156,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id, event_type, value,
        CAST(row_number() OVER w AS INT) AS version,
        (lead(ts) OVER w IS NULL) AS is_current
 FROM events
+WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 """
 
@@ -5239,9 +5240,13 @@ def q_kg_integrity(spark, sf_dir):
 # but both engines COMPUTE it through their own regex/split pipelines, so a
 # boundary-rule divergence in either engine fails the value hash.
 
-def q_identifier_split(spark, sf_dir):
-    from .operators.code import split_identifiers
-
+def _ident_surfaces(spark, sf_dir, surfaces_of):
+    """Shared identifier-surface view for queries 115/117: cleaned doc
+    tokens (same derivation as _code_view / _SQL_CODE_BASE: lower, trim,
+    whitespace split, [^a-z0-9_] stripped, docs with >= 4 tokens) fed to
+    ``surfaces_of(clean, cap) -> list[Column]``; one exploded surface row
+    per doc per casing.  Both paired SQL oracles restate this construction,
+    so it lives in ONE place on the Spark side."""
     d = _docs(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
@@ -5252,12 +5257,19 @@ def q_identifier_split(spark, sf_dir):
         return F.concat(F.upper(F.substring(c, 1, 1)),
                         F.substring(c, 2, 1 << 30))
 
-    t1, t2, t3, t4 = clean(1), clean(2), clean(3), clean(4)
-    camel = F.concat(t1, cap(t2), cap(t3))       # parseHttpServer shape
-    snake = F.concat(t2, F.lit("_"), t4)         # parse_server shape
-    idents = (d.where(F.size(toks) >= 4)
-              .select(F.explode(F.array(camel, snake)).alias("ident")))
-    parts = split_identifiers(idents, ident_col="ident")
+    return (d.where(F.size(toks) >= 4)
+            .select(F.explode(F.array(*surfaces_of(clean, cap)))
+                    .alias("symbol")))
+
+
+def q_identifier_split(spark, sf_dir):
+    from .operators.code import split_identifiers
+
+    idents = _ident_surfaces(spark, sf_dir, lambda clean, cap: [
+        F.concat(clean(1), cap(clean(2)), cap(clean(3))),  # parseHttpServer
+        F.concat(clean(2), F.lit("_"), clean(4)),          # parse_server
+    ])
+    parts = split_identifiers(idents, ident_col="symbol")
     return (parts.select(F.explode("parts").alias("word"))
             .groupBy("word").agg(F.count("*").alias("n")))
 
@@ -5365,24 +5377,11 @@ SELECT user_id, event_type, value, valid_from, version FROM (
 def q_alias_canonical(spark, sf_dir):
     from .operators.code import canonical_aliases
 
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-
-    def clean(i: int):
-        return F.regexp_replace(F.element_at(toks, i), "[^a-z0-9_]", "")
-
-    def cap(c):
-        return F.concat(F.upper(F.substring(c, 1, 1)),
-                        F.substring(c, 2, 1 << 30))
-
-    t1, t2 = clean(1), clean(2)
-    surfaces = F.array(
-        F.concat(t1, cap(t2)),                  # camelCase
-        F.concat(t1, F.lit("_"), t2),           # snake_case
-        F.concat(cap(t1), cap(t2)),             # PascalCase
-    )
-    idents = (d.where(F.size(toks) >= 4)
-              .select(F.explode(surfaces).alias("symbol")))
+    idents = _ident_surfaces(spark, sf_dir, lambda clean, cap: [
+        F.concat(clean(1), cap(clean(2))),                # camelCase
+        F.concat(clean(1), F.lit("_"), clean(2)),         # snake_case
+        F.concat(cap(clean(1)), cap(clean(2))),           # PascalCase
+    ])
     out = canonical_aliases(idents)
     return out.select(
         "canonical", F.col("n_variants").cast("long").alias("n_variants"),

@@ -216,7 +216,10 @@ def scd2_intervals(df: DataFrame,
     (ts, tiebreak) — partition sizes are bounded by per-entity version
     counts (never corpus-sized), the lead() and row_number() share the
     single sort, and there is no join at all. The deterministic tiebreak
-    makes same-timestamp writes reproducible across engines."""
+    makes same-timestamp writes reproducible across engines.  NULL-ts
+    events are excluded (no observation time -> no validity interval),
+    matching snapshot_at so the two ops stay reconcilable."""
+    df = df.where(F.col(ts_col).isNotNull())
     w = Window.partitionBy(*entity_cols).orderBy(ts_col, tiebreak_col)
     return df.select(
         *entity_cols, value_col,
@@ -242,7 +245,8 @@ def snapshot_at(df, at: str,
     table skips later epochs entirely) + one entity-keyed aggregate whose
     max(struct(ts, tiebreak, value)) picks the latest version with
     map-side partial combine; version = the event count, matching
-    scd2_intervals' counter.  No join, no sort."""
+    scd2_intervals' counter (NULL-ts events are excluded there too, so
+    the containing-interval equivalence holds).  No join, no sort."""
     cutoff = F.to_timestamp(F.lit(at))
     last = F.max(F.struct(
         F.col(ts_col), F.col(tiebreak_col), F.col(value_col))).alias("last")

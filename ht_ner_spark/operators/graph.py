@@ -109,6 +109,7 @@ def triangle_summary(triples: DataFrame) -> DataFrame:
         .join(codes.select(F.col("name").alias("v"),
                            F.col("code").alias("cv")), "v")
         .select("cu", "cv")
+        .localCheckpoint()  # deg (x2), orientation join, and max_deg below
     )
     deg = (
         ce.select(F.col("cu").alias("n"))

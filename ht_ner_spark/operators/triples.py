@@ -141,13 +141,17 @@ def diff_triples(old: DataFrame, new: DataFrame,
     and nothing is re-shuffled.  Removed facts are exactly the rows only
     the old side produces — the case MERGE-style upsert cannot see."""
     key = ["subj", "pred", "obj"]
-    o = old.groupBy(*key).agg(F.sum(weight_col).alias("old_w"))
-    n = new.groupBy(*key).agg(F.sum(weight_col).alias("new_w"))
+    # presence flags, not weight NULL-ness, drive the status: a nullable
+    # weight column summing to NULL must not read as an absent key
+    o = (old.groupBy(*key).agg(F.sum(weight_col).alias("old_w"))
+         .withColumn("_in_old", F.lit(True)))
+    n = (new.groupBy(*key).agg(F.sum(weight_col).alias("new_w"))
+         .withColumn("_in_new", F.lit(True)))
     return o.join(n, key, "full_outer").select(
         *key, "old_w", "new_w",
-        F.when(F.col("old_w").isNull(), F.lit("added"))
-        .when(F.col("new_w").isNull(), F.lit("removed"))
-        .when(F.col("old_w") != F.col("new_w"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_w").eqNullSafe(F.col("new_w")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )

@@ -144,3 +144,18 @@ def test_snapshot_at_matches_scd2_interval(spark):
             if r["valid_from"] <= cutoff
             and (r["valid_to"] is None or r["valid_to"] > cutoff)}
     assert snap == live
+
+
+def test_diff_triples_null_weights_keep_presence(spark):
+    from ht_ner_spark.operators.triples import diff_triples
+
+    old = spark.createDataFrame(
+        [("a", "p", "x", None), ("b", "p", "y", 1)],
+        "subj string, pred string, obj string, n_witnesses long")
+    new = spark.createDataFrame(
+        [("a", "p", "x", 2), ("b", "p", "y", None)],
+        "subj string, pred string, obj string, n_witnesses long")
+    got = {(r["subj"], r["obj"]): r["status"]
+           for r in diff_triples(old, new).collect()}
+    # NULL-summed weights must not read as an absent key
+    assert got == {("a", "x"): "changed", ("b", "y"): "changed"}
