@@ -99,3 +99,73 @@ def stream_stage1(spark: SparkSession, corpus_dir: str, warehouse: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_triples(spark: SparkSession, corpus_dir: str, warehouse: str,
+                   gazetteer: dict[str, float],
+                   common_ranks: dict[str, int] | None = None,
+                   freq_cutoffs: list[tuple[str, int]] | None = None,
+                   run_id: str = "stream") -> None:
+    """Streaming KG maintenance, merge-on-read: each micro-batch runs fused
+    stage 1 and lands its mention-level facts as an APPEND-ONLY delta
+    partition ``batch_id=N`` (dynamic partition overwrite, so a
+    crash-and-retry of batch N replaces its own partition — idempotent,
+    exactly-once per source file); ``merged_triples`` folds the deltas at
+    read time.  The delta facts use only associative-commutative merges
+    (sum of witnesses, max of conf), so merge-on-read over any batch
+    decomposition equals the full batch recompute — the invariant the
+    tests pin.
+
+    Entity linking / canonicalization (stages 2-3) stay batch: they are
+    corpus-global (components over ALL mentions), so the streaming path
+    emits surface-level facts and a periodic batch pass re-canonicalizes —
+    the standard streaming-extract / batch-consolidate split, documented
+    rather than silently approximated."""
+    from ..operators.fused import fused_stage1, split_mentions
+
+    os.makedirs(warehouse, exist_ok=True)
+    stream = read_corpus_stream(spark, corpus_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        combined = fused_stage1(
+            batch_df, gazetteer,
+            common_ranks=common_ranks, freq_cutoffs=freq_cutoffs or [],
+        )
+        facts = (
+            split_mentions(combined)
+            .where(F.col("label") == "PERSON_NAME")
+            .join(batch_df.select("row_id", "repo"), "row_id")
+            .groupBy(F.col("repo").alias("subj"),
+                     F.lit("mentions_name").alias("pred"),
+                     F.lower(F.col("surface")).alias("obj"))
+            .agg(F.countDistinct("row_id").alias("n_witnesses"),
+                 F.max("confidence").alias("conf"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        cat.write_table(facts, warehouse, "triple_deltas", mode="overwrite",
+                        partition_by=["batch_id"], dynamic_overwrite=True)
+        ck.record_stage(
+            spark, warehouse, run_id, "s4-stream",
+            rows_out=facts.count(),
+            counters={"batch_id": int(batch_id), **ck.LINEAGE_SOURCE_BATCH},
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation",
+                os.path.join(warehouse, "_stream_triples_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def merged_triples(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Merge-on-read view of the streamed triple deltas: one row per
+    (subj, pred, obj) with summed witnesses and max confidence.  A
+    compaction pass (storage/catalog.compact_table) can fold the delta
+    partitions into fewer files without changing this reader."""
+    d = cat.read_table(spark, warehouse, "triple_deltas")
+    return d.groupBy("subj", "pred", "obj").agg(
+        F.sum("n_witnesses").alias("n_witnesses"),
+        F.max("conf").alias("conf"))

@@ -49,3 +49,44 @@ def test_streaming_incremental_exactly_once(spark, tmp_path):
     cols = ["row_id", "lf_name", "begin", "end", "surface"]
     assert {tuple(r[c] for c in cols) for r in got.collect()} == \
            {tuple(r[c] for c in cols) for r in batch.collect()}
+
+
+def test_stream_triples_merge_on_read_equals_batch(spark, tmp_path):
+    from ht_ner_spark.streaming.incremental import merged_triples, stream_triples
+
+    corpus_dir = str(tmp_path / "corpus")
+    wh = str(tmp_path / "wh")
+
+    def batch_expected(hi):
+        corpus = synthetic_corpus(spark, hi, seed=42)
+        combined = fused_stage1(corpus, DEFAULT_GAZETTEER)
+        return {
+            (r["subj"], r["pred"], r["obj"]): (r["n_witnesses"], r["conf"])
+            for r in (
+                split_mentions(combined)
+                .where(F.col("label") == "PERSON_NAME")
+                .join(corpus.select("row_id", "repo"), "row_id")
+                .groupBy(F.col("repo").alias("subj"),
+                         F.lit("mentions_name").alias("pred"),
+                         F.lower(F.col("surface")).alias("obj"))
+                .agg(F.countDistinct("row_id").alias("n_witnesses"),
+                     F.max("confidence").alias("conf"))
+            ).collect()
+        }
+
+    def merged():
+        return {(r["subj"], r["pred"], r["obj"]): (r["n_witnesses"], r["conf"])
+                for r in merged_triples(spark, wh).collect()}
+
+    _drop_files(spark, corpus_dir, 0, 30)
+    stream_triples(spark, corpus_dir, wh, DEFAULT_GAZETTEER)
+    assert merged() == batch_expected(30)
+
+    # no new files -> drain is a no-op
+    stream_triples(spark, corpus_dir, wh, DEFAULT_GAZETTEER)
+    assert merged() == batch_expected(30)
+
+    # more files -> merge-on-read over deltas == full batch recompute
+    _drop_files(spark, corpus_dir, 30, 50)
+    stream_triples(spark, corpus_dir, wh, DEFAULT_GAZETTEER)
+    assert merged() == batch_expected(50)
