@@ -2125,6 +2125,8 @@ def queries() -> dict:
         "identifier_split": q_identifier_split,
         "kg_asof": q_kg_asof,
         "alias_canonical": q_alias_canonical,
+        "entity_types": q_entity_types,
+        "pg_export": q_pg_export,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
         # full rows+schema+hash gates like everything else:
@@ -2198,6 +2200,8 @@ def oracle_sql() -> dict:
         "identifier_split": SQL_IDENTIFIER_SPLIT,
         "kg_asof": SQL_KG_ASOF,
         "alias_canonical": SQL_ALIAS_CANONICAL,
+        "entity_types": SQL_ENTITY_TYPES,
+        "pg_export": SQL_PG_EXPORT,
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
@@ -5415,4 +5419,58 @@ canon AS (
 SELECT canonical, CAST(count(*) AS BIGINT) AS n_variants,
        string_agg(symbol, ',' ORDER BY symbol) AS variants
 FROM canon GROUP BY canonical
+"""
+
+
+# ===========================================================================
+# 118. entity typing from the predicate profile (post-stage-4 schema pass)
+
+def q_entity_types(spark, sf_dir):
+    from .operators.code import code_triples
+    from .operators.triples import infer_entity_types
+
+    trip = code_triples(_code_view(spark, sf_dir))
+    return infer_entity_types(trip, weight_col="n_witnesses")
+
+
+SQL_ENTITY_TYPES = f"""
+WITH {_SQL_CODE_BASE},
+{_SQL_CODE_TRIPLES_BODY.strip()},
+w AS (
+  SELECT obj, pred, count(DISTINCT doc_id) AS n FROM trip GROUP BY 1, 2
+),
+r AS (
+  SELECT obj, pred, n,
+         sum(n) OVER (PARTITION BY obj) AS n_total,
+         row_number() OVER (PARTITION BY obj ORDER BY n DESC, pred) AS rn
+  FROM w
+)
+SELECT obj AS entity, pred AS entity_type, CAST(n AS BIGINT) AS n_top,
+       CAST(n_total AS BIGINT) AS n_total,
+       round(n * 1.0 / n_total, 4) AS confidence
+FROM r WHERE rn = 1
+"""
+
+
+# ===========================================================================
+# 119. property-graph export with portable integer ids (embedding trainer
+# input: md5-60-bit node ids, dense 1..|preds| relation ids)
+
+def q_pg_export(spark, sf_dir):
+    from .operators.code import code_triples
+    from .operators.triples import export_property_graph
+
+    trip = code_triples(_code_view(spark, sf_dir))
+    return export_property_graph(trip)
+
+
+SQL_PG_EXPORT = f"""
+WITH {_SQL_CODE_BASE},
+{_SQL_CODE_TRIPLES_BODY.strip()},
+t AS (SELECT DISTINCT subj, pred, obj FROM trip)
+SELECT ('0x' || substr(md5(subj), 1, 15))::BIGINT AS src_id,
+       CAST(dense_rank() OVER (ORDER BY pred) AS BIGINT) AS rel_id,
+       ('0x' || substr(md5(obj), 1, 15))::BIGINT AS dst_id,
+       subj, pred, obj
+FROM t
 """

@@ -297,3 +297,69 @@ def negative_sample(triples: DataFrame) -> DataFrame:
         .where(F.col("cand") != F.col("obj"))
         .select("subj", "pred", "obj", F.col("cand").alias("neg_obj"))
     )
+
+
+def infer_entity_types(triples: DataFrame,
+                       weight_col: str | None = None) -> DataFrame:
+    """Entity typing from the predicate profile: each object entity gets the
+    type of the predicate that most often asserts facts about it — the
+    standard schema-free typing pass a KG-construction pipeline runs after
+    stage 4 (an entity overwhelmingly seen as the object of ``imports`` IS a
+    module; of ``defines``, a symbol).  Majority vote with a deterministic
+    lexicographic tie-break; ``confidence`` = top-predicate weight over the
+    entity's total fact weight, the usual soft-label the downstream
+    type-constrained link-prediction loss consumes.
+
+    Returns (entity, entity_type, n_top, n_total, confidence).
+
+    Shape at scale: one (obj, pred) hash aggregate (map-side combine folds
+    duplicate facts before the shuffle), then one obj-keyed re-aggregate
+    where the argmax is a ``min(struct(-n, pred))`` — an aggregation, not a
+    per-entity Window, so there is no sort and no skew pile-up on hub
+    entities; both shuffles are on keys whose cardinality only shrinks."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    per = (triples.groupBy("obj", "pred")
+           .agg(F.sum(w).alias("n")))
+    top = F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("pred")))
+    return (per.groupBy("obj")
+            .agg(top.alias("top"), F.sum("n").alias("n_total"))
+            .select(F.col("obj").alias("entity"),
+                    F.col("top.pred").alias("entity_type"),
+                    (-F.col("top.neg_n")).cast("long").alias("n_top"),
+                    F.col("n_total").cast("long").alias("n_total"),
+                    F.round((-F.col("top.neg_n")) / F.col("n_total"), 4)
+                    .alias("confidence")))
+
+
+def export_property_graph(triples: DataFrame,
+                          id_hex_digits: int = 15) -> DataFrame:
+    """Embedding-training export: the deduplicated triple set as an integer
+    edge list (src_id, rel_id, dst_id, subj, pred, obj) — the input format
+    of every TransE-family trainer.  Node ids are md5-derived 60-bit ints
+    (hash-portable: any engine recomputes the identical id from the entity
+    name, so incremental epochs never need an id-assignment table and two
+    exports of overlapping KGs agree on shared nodes).  Relation ids are
+    contiguous 1..|preds| — predicates number in the dozens, and trainers
+    want a dense relation-embedding matrix.
+
+    Shape at scale: dedup is one (subj, pred, obj) hash aggregate; node ids
+    are computed row-side (md5 + conv, whole-stage codegen, zero shuffle —
+    the reason to hash rather than row_number the node set); the relation
+    dimension is |preds| rows, ranked without an unpartitioned Window
+    (rank.py) and BROADCAST back onto the edge stream.  Collision bound:
+    60-bit ids give ~2^-16 collision odds at 10^9 nodes (birthday); raise
+    ``id_hex_digits`` to 16 only if negative ids are acceptable."""
+    from .rank import exact_global_rank
+
+    def nid(c: str):
+        return F.conv(F.substring(F.md5(F.col(c)), 1, id_hex_digits),
+                      16, 10).cast("long")
+
+    edges = triples.select("subj", "pred", "obj").distinct()
+    rels = exact_global_rank(
+        edges.select("pred").distinct(), [F.asc("pred")], "rel_id")
+    return (edges.join(F.broadcast(rels), "pred")
+            .select(nid("subj").alias("src_id"),
+                    F.col("rel_id").cast("long").alias("rel_id"),
+                    nid("obj").alias("dst_id"),
+                    "subj", "pred", "obj"))

@@ -159,3 +159,61 @@ def test_diff_triples_null_weights_keep_presence(spark):
            for r in diff_triples(old, new).collect()}
     # NULL-summed weights must not read as an absent key
     assert got == {("a", "x"): "changed", ("b", "y"): "changed"}
+
+
+def test_infer_entity_types_majority_and_tiebreak(spark):
+    from ht_ner_spark.operators.triples import infer_entity_types
+
+    t = spark.createDataFrame(
+        [("a", "imports", "m1", 3), ("b", "imports", "m1", 1),
+         ("c", "defines", "m1", 1),            # m1: imports 4 vs defines 1
+         ("a", "defines", "s1", 2),            # s1: defines only
+         ("a", "imports", "tie", 1), ("a", "defines", "tie", 1)],
+        "subj string, pred string, obj string, n_witnesses long")
+    got = {r["entity"]: r for r in
+           infer_entity_types(t, weight_col="n_witnesses").collect()}
+    m1 = got["m1"]
+    assert m1["entity_type"] == "imports"
+    assert (m1["n_top"], m1["n_total"]) == (4, 5)
+    assert m1["confidence"] == 0.8
+    assert got["s1"]["entity_type"] == "defines"
+    assert got["s1"]["confidence"] == 1.0
+    # equal weight -> lexicographically smallest predicate wins
+    assert got["tie"]["entity_type"] == "defines"
+    assert got["tie"]["confidence"] == 0.5
+
+
+def test_infer_entity_types_unweighted_counts_rows(spark):
+    from ht_ner_spark.operators.triples import infer_entity_types
+
+    t = spark.createDataFrame(
+        [("a", "p", "x", 99), ("b", "p", "x", 99), ("a", "q", "x", 99)],
+        "subj string, pred string, obj string, n_witnesses long")
+    r = infer_entity_types(t).collect()[0]   # weight_col=None ignores weights
+    assert (r["entity_type"], r["n_top"], r["n_total"]) == ("p", 2, 3)
+
+
+def test_export_property_graph_ids(spark):
+    import hashlib
+
+    from ht_ner_spark.operators.triples import export_property_graph
+
+    t = spark.createDataFrame(
+        [("a", "imports", "m1"), ("a", "imports", "m1"),   # dup collapses
+         ("b", "defines", "s1"), ("a", "defines", "m1")],
+        "subj string, pred string, obj string")
+    rows = export_property_graph(t).collect()
+    assert len(rows) == 3                                   # deduped
+    by_edge = {(r["subj"], r["pred"], r["obj"]): r for r in rows}
+
+    def nid(name):
+        return int(hashlib.md5(name.encode()).hexdigest()[:15], 16)
+
+    e = by_edge[("a", "imports", "m1")]
+    assert e["src_id"] == nid("a") and e["dst_id"] == nid("m1")
+    # dense relation ids, alphabetical: defines=1, imports=2
+    assert e["rel_id"] == 2
+    assert by_edge[("b", "defines", "s1")]["rel_id"] == 1
+    # shared node -> identical id across edges (hash-portable invariant)
+    assert by_edge[("a", "defines", "m1")]["dst_id"] == e["dst_id"]
+    assert by_edge[("a", "defines", "m1")]["src_id"] == e["src_id"]
