@@ -2127,6 +2127,8 @@ def queries() -> dict:
         "alias_canonical": q_alias_canonical,
         "entity_types": q_entity_types,
         "pg_export": q_pg_export,
+        "blocking_quality": q_blocking_quality,
+        "er_cluster_metrics": q_er_cluster_metrics,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
         # full rows+schema+hash gates like everything else:
@@ -2202,6 +2204,8 @@ def oracle_sql() -> dict:
         "alias_canonical": SQL_ALIAS_CANONICAL,
         "entity_types": SQL_ENTITY_TYPES,
         "pg_export": SQL_PG_EXPORT,
+        "blocking_quality": SQL_BLOCKING_QUALITY,
+        "er_cluster_metrics": SQL_ER_CLUSTER_METRICS,
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
@@ -5473,4 +5477,216 @@ SELECT ('0x' || substr(md5(subj), 1, 15))::BIGINT AS src_id,
        ('0x' || substr(md5(obj), 1, 15))::BIGINT AS dst_id,
        subj, pred, obj
 FROM t
+"""
+
+
+# ===========================================================================
+# 120. blocking-quality audit of the LSH candidate generator (reduction
+# ratio + pairs completeness vs exact n-gram-Jaccard gold at tau=0.5),
+# over the casing-variant identifier surfaces — the universe where true
+# near-pairs actually exist, so the completeness denominator is real.
+
+BLOCKING_GOLD_TAU = 0.5
+
+
+def q_blocking_quality(spark, sf_dir):
+    from .operators.linking import (blocking_quality, lsh_candidates,
+                                    minhash_signatures, surface_grams)
+
+    idents = _ident_surfaces(spark, sf_dir, lambda clean, cap: [
+        F.concat(clean(1), cap(clean(2))),                # camelCase
+        F.concat(clean(1), F.lit("_"), clean(2)),         # snake_case
+        F.concat(cap(clean(1)), cap(clean(2))),           # PascalCase
+    ]).distinct()
+    grams = surface_grams(idents, col="symbol", n=3)
+    sig = minhash_signatures(grams, num_bands=LSH_BANDS, use_md5=True)
+    pairs, _ = lsh_candidates(sig, max_block=50)
+    return blocking_quality(pairs, grams, min_jaccard=BLOCKING_GOLD_TAU)
+
+
+SQL_BLOCKING_QUALITY = f"""
+WITH {_SQL_CODE_BASE},
+c AS (
+  SELECT regexp_replace(toks[1], '[^a-z0-9_]', '', 'g') AS t1,
+         regexp_replace(toks[2], '[^a-z0-9_]', '', 'g') AS t2
+  FROM ok
+),
+surf AS (
+  SELECT DISTINCT symbol FROM (
+    SELECT t1 || upper(substr(t2, 1, 1)) || substr(t2, 2) AS symbol FROM c
+    UNION ALL SELECT t1 || '_' || t2 FROM c
+    UNION ALL SELECT upper(substr(t1, 1, 1)) || substr(t1, 2)
+                  || upper(substr(t2, 1, 1)) || substr(t2, 2) FROM c
+  )
+),
+g AS (
+  SELECT symbol, unnest(list_distinct(
+           [substr(p, i, 3) FOR i IN range(1, greatest(len(p) - 2, 1) + 1)])) AS gram
+  FROM (SELECT symbol, '^' || lower(symbol) || '$' AS p FROM surf)
+),
+banded AS (
+  SELECT symbol, gram, unnest(range(0, {LSH_BANDS})) AS band FROM g
+),
+sigs AS (
+  SELECT symbol, band, MIN(md5(band || ':' || gram)) AS sig
+  FROM banded GROUP BY symbol, band
+),
+sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bs FROM sigs),
+okb AS (SELECT * FROM sized WHERE bs <= 50),
+cand AS (
+  SELECT DISTINCT a.symbol AS src, b.symbol AS dst
+  FROM okb a JOIN okb b
+    ON a.band = b.band AND a.sig = b.sig AND a.symbol < b.symbol
+),
+gsets AS (
+  SELECT symbol, list_distinct(
+           [substr(p, i, 3) FOR i IN range(1, greatest(len(p) - 2, 1) + 1)]) AS gs
+  FROM (SELECT symbol, '^' || lower(symbol) || '$' AS p FROM surf)
+),
+gold AS (
+  SELECT a.symbol AS src, b.symbol AS dst
+  FROM gsets a JOIN gsets b ON a.symbol < b.symbol
+  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / len(list_distinct(a.gs || b.gs)) >= {BLOCKING_GOLD_TAU}
+),
+m AS (
+  SELECT (SELECT count(*) FROM gsets) AS n_entities,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM gold) AS n_gold,
+         (SELECT count(*) FROM gold g JOIN cand c
+            ON g.src = c.src AND g.dst = c.dst) AS n_found
+)
+SELECT CAST(n_entities AS BIGINT) AS n_entities,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_gold AS BIGINT) AS n_gold,
+       CAST(n_found AS BIGINT) AS n_found,
+       CASE WHEN n_entities > 1 THEN
+         round(1 - n_cand / ((n_entities * (n_entities - 1)) // 2), 6)
+       END AS reduction_ratio,
+       CASE WHEN n_gold > 0 THEN round(n_found / n_gold, 6)
+       END AS pairs_completeness
+FROM m
+"""
+
+
+# ===========================================================================
+# 121. pairwise ER-clustering metrics: LSH+Jaccard connected components vs
+# canonical-identifier gold over casing-variant surfaces (stage-3 eval)
+
+def q_er_cluster_metrics(spark, sf_dir):
+    from .operators.code import split_identifiers
+    from .operators.components import connected_components
+    from .operators.linking import (jaccard_verify, lsh_candidates,
+                                    minhash_signatures, surface_grams)
+    from .operators.metrics import pairwise_cluster_metrics
+
+    idents = _ident_surfaces(spark, sf_dir, lambda clean, cap: [
+        F.concat(clean(1), cap(clean(2))),                # camelCase
+        F.concat(clean(1), F.lit("_"), clean(2)),         # snake_case
+        F.concat(cap(clean(1)), cap(clean(2))),           # PascalCase
+    ]).distinct()
+    grams = surface_grams(idents, col="symbol", n=3)
+    sig = minhash_signatures(grams, num_bands=LSH_BANDS, use_md5=True)
+    pairs, _ = lsh_candidates(sig, max_block=50)
+    edges = jaccard_verify(pairs, n=3, min_jaccard=0.4).select("src", "dst")
+    comp = connected_components(edges, max_iter=15)
+    gold = split_identifiers(idents, ident_col="symbol").select(
+        "symbol", F.concat_ws("_", "parts").alias("gold"))
+    assign = (gold.join(comp.withColumnRenamed("entity_id", "symbol"),
+                        "symbol", "left")
+              .select(F.coalesce("component_id", F.col("symbol"))
+                      .alias("component_id"), "gold"))
+    return pairwise_cluster_metrics(assign)
+
+
+SQL_ER_CLUSTER_METRICS = f"""
+WITH RECURSIVE {_SQL_CODE_BASE},
+c AS (
+  SELECT regexp_replace(toks[1], '[^a-z0-9_]', '', 'g') AS t1,
+         regexp_replace(toks[2], '[^a-z0-9_]', '', 'g') AS t2
+  FROM ok
+),
+surf AS (
+  SELECT DISTINCT symbol FROM (
+    SELECT t1 || upper(substr(t2, 1, 1)) || substr(t2, 2) AS symbol FROM c
+    UNION ALL SELECT t1 || '_' || t2 FROM c
+    UNION ALL SELECT upper(substr(t1, 1, 1)) || substr(t1, 2)
+                  || upper(substr(t2, 1, 1)) || substr(t2, 2) FROM c
+  )
+),
+g AS (
+  SELECT symbol, unnest(list_distinct(
+           [substr(p, i, 3) FOR i IN range(1, greatest(len(p) - 2, 1) + 1)])) AS gram
+  FROM (SELECT symbol, '^' || lower(symbol) || '$' AS p FROM surf)
+),
+banded AS (
+  SELECT symbol, gram, unnest(range(0, {LSH_BANDS})) AS band FROM g
+),
+sigs AS (
+  SELECT symbol, band, MIN(md5(band || ':' || gram)) AS sig
+  FROM banded GROUP BY symbol, band
+),
+sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bs FROM sigs),
+okb AS (SELECT * FROM sized WHERE bs <= 50),
+cand AS (
+  SELECT DISTINCT a.symbol AS src, b.symbol AS dst
+  FROM okb a JOIN okb b
+    ON a.band = b.band AND a.sig = b.sig AND a.symbol < b.symbol
+),
+gsets AS (
+  SELECT symbol, list_distinct(
+           [substr(p, i, 3) FOR i IN range(1, greatest(len(p) - 2, 1) + 1)]) AS gs
+  FROM (SELECT symbol, '^' || lower(symbol) || '$' AS p FROM surf)
+),
+edges AS (
+  SELECT src, dst FROM cand
+  JOIN gsets ga ON ga.symbol = cand.src
+  JOIN gsets gb ON gb.symbol = cand.dst
+  WHERE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+        / len(list_distinct(ga.gs || gb.gs)) >= 0.4
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(n, l) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.l FROM reach r JOIN sym s ON s.src = r.n
+),
+compo AS (SELECT n AS symbol, MIN(l) AS component_id FROM reach GROUP BY n),
+goldt AS (
+  SELECT symbol, array_to_string(list_filter(
+    string_split_regex(lower(
+      regexp_replace(
+        regexp_replace(symbol, '([A-Z]+)([A-Z][a-z])', '\\1_\\2', 'g'),
+        '([a-z0-9])([A-Z])', '\\1_\\2', 'g')), '_+'),
+    x -> x <> ''), '_') AS gold
+  FROM surf
+),
+assign AS (
+  SELECT coalesce(c2.component_id, g2.symbol) AS comp, g2.gold
+  FROM goldt g2 LEFT JOIN compo c2 ON c2.symbol = g2.symbol
+),
+cont AS (SELECT comp, gold, count(*) AS n FROM assign GROUP BY 1, 2),
+tp AS (SELECT sum((n * (n - 1)) // 2) AS tp_pairs, sum(n) AS n_items FROM cont),
+pp AS (SELECT sum((n * (n - 1)) // 2) AS pred_pairs,
+              count(*) AS n_pred_clusters
+       FROM (SELECT comp, sum(n) AS n FROM cont GROUP BY 1)),
+gp AS (SELECT sum((n * (n - 1)) // 2) AS gold_pairs,
+              count(*) AS n_gold_clusters
+       FROM (SELECT gold, sum(n) AS n FROM cont GROUP BY 1))
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(n_pred_clusters AS BIGINT) AS n_pred_clusters,
+       CAST(n_gold_clusters AS BIGINT) AS n_gold_clusters,
+       CAST(tp_pairs AS BIGINT) AS tp_pairs,
+       CAST(pred_pairs AS BIGINT) AS pred_pairs,
+       CAST(gold_pairs AS BIGINT) AS gold_pairs,
+       CASE WHEN pred_pairs > 0 THEN round(tp_pairs / pred_pairs, 6)
+       END AS precision,
+       CASE WHEN gold_pairs > 0 THEN round(tp_pairs / gold_pairs, 6)
+       END AS recall,
+       CASE WHEN pred_pairs > 0 AND gold_pairs > 0
+             AND tp_pairs / pred_pairs + tp_pairs / gold_pairs > 0 THEN
+         round(2 * (tp_pairs / pred_pairs) * (tp_pairs / gold_pairs)
+               / (tp_pairs / pred_pairs + tp_pairs / gold_pairs), 6)
+       END AS f1
+FROM tp, pp, gp
 """

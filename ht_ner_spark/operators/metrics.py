@@ -212,3 +212,51 @@ def cohens_kappa(df, a_col: str, b_col: str):
         F.when(pe < 1, F.round((po - pe) / (1 - pe), 6))
         .otherwise(F.lit(None).cast("double")).alias("kappa"),
     )
+
+
+def pairwise_cluster_metrics(assign: DataFrame,
+                             pred_col: str = "component_id",
+                             gold_col: str = "gold") -> DataFrame:
+    """Pairwise precision/recall/F1 of a predicted clustering against gold
+    labels — the standard entity-resolution evaluation (Menestrina 2010):
+    a pair of items counts as predicted-positive if they share a predicted
+    cluster, gold-positive if they share a gold label; P/R/F1 follow.  One
+    row: (n_items, n_pred_clusters, n_gold_clusters, tp_pairs, pred_pairs,
+    gold_pairs, precision, recall, f1).
+
+    Shape at scale: NEVER materializes pairs — tp_pairs is sum over the
+    (pred, gold) contingency cells of C(n,2), pred/gold_pairs likewise over
+    the marginal cluster sizes, so the cost is three hash aggregates over
+    the assignment frame (the contingency one subsumes a marginal via a
+    second small re-agg).  Hub clusters are single aggregate cells, not
+    quadratic blow-ups."""
+    def npairs(c):
+        return F.sum((c * (c - 1) / 2).cast("long"))
+
+    cont = (assign.groupBy(pred_col, gold_col)
+            .agg(F.count("*").alias("n"))).localCheckpoint()
+    tp = cont.agg(npairs(F.col("n")).alias("tp_pairs"),
+                  F.sum("n").alias("n_items"))
+    pred = (cont.groupBy(pred_col).agg(F.sum("n").alias("n"))
+            .agg(npairs(F.col("n")).alias("pred_pairs"),
+                 F.count("*").alias("n_pred_clusters")))
+    gold = (cont.groupBy(gold_col).agg(F.sum("n").alias("n"))
+            .agg(npairs(F.col("n")).alias("gold_pairs"),
+                 F.count("*").alias("n_gold_clusters")))
+    p = F.when(F.col("pred_pairs") > 0,
+               F.col("tp_pairs") / F.col("pred_pairs"))
+    r = F.when(F.col("gold_pairs") > 0,
+               F.col("tp_pairs") / F.col("gold_pairs"))
+    return (tp.join(F.broadcast(pred)).join(F.broadcast(gold))
+            .select(
+                F.col("n_items").cast("long").alias("n_items"),
+                F.col("n_pred_clusters").cast("long").alias("n_pred_clusters"),
+                F.col("n_gold_clusters").cast("long").alias("n_gold_clusters"),
+                F.col("tp_pairs").cast("long").alias("tp_pairs"),
+                F.col("pred_pairs").cast("long").alias("pred_pairs"),
+                F.col("gold_pairs").cast("long").alias("gold_pairs"),
+                F.round(p, 6).alias("precision"),
+                F.round(r, 6).alias("recall"),
+                F.when((F.col("pred_pairs") > 0) & (F.col("gold_pairs") > 0)
+                       & (p + r > 0),
+                       F.round(2 * p * r / (p + r), 6)).alias("f1")))

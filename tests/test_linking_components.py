@@ -126,3 +126,35 @@ def test_connected_components_budget_boundary(spark):
                 df, max_iter=30, driver_budget=budget).collect()
         }
         assert got == want, f"driver_budget={budget}"
+
+
+def test_blocking_quality_counts(spark):
+    from ht_ner_spark.operators.linking import blocking_quality
+
+    # universe of 4 surfaces; grams chosen so exact-Jaccard gold at 0.5 is
+    # {(a,b), (c,d)}: a∩b = {x,y} of union {x,y,z} (J=2/3), c∩d = {p,q} of
+    # {p,q} (J=1); a-c etc. share nothing.
+    grams = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", "z"),
+         ("b", "x"), ("b", "y"),
+         ("c", "p"), ("c", "q"),
+         ("d", "p"), ("d", "q")], "surface string, gram string")
+    # blocker produced (a,b) and a false candidate (a,c); missed (c,d)
+    cand = spark.createDataFrame([("a", "b"), ("a", "c")],
+                                 "src string, dst string")
+    r = blocking_quality(cand, grams, min_jaccard=0.5).collect()[0]
+    assert (r["n_entities"], r["n_cand"], r["n_gold"], r["n_found"]) \
+        == (4, 2, 2, 1)
+    assert r["reduction_ratio"] == round(1 - 2 / 6, 6)
+    assert r["pairs_completeness"] == 0.5
+
+
+def test_blocking_quality_empty_gold_is_null(spark):
+    from ht_ner_spark.operators.linking import blocking_quality
+
+    grams = spark.createDataFrame([("a", "x"), ("b", "y")],
+                                  "surface string, gram string")
+    cand = spark.createDataFrame([], "src string, dst string")
+    r = blocking_quality(cand, grams, min_jaccard=0.5).collect()[0]
+    assert r["n_gold"] == 0 and r["pairs_completeness"] is None
+    assert r["reduction_ratio"] == 1.0
