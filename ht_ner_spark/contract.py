@@ -2129,6 +2129,8 @@ def queries() -> dict:
         "pg_export": q_pg_export,
         "blocking_quality": q_blocking_quality,
         "er_cluster_metrics": q_er_cluster_metrics,
+        "source_accuracy": q_source_accuracy,
+        "label_fusion": q_label_fusion,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
         # full rows+schema+hash gates like everything else:
@@ -2206,6 +2208,8 @@ def oracle_sql() -> dict:
         "pg_export": SQL_PG_EXPORT,
         "blocking_quality": SQL_BLOCKING_QUALITY,
         "er_cluster_metrics": SQL_ER_CLUSTER_METRICS,
+        "source_accuracy": _sql_source_accuracy(),
+        "label_fusion": _sql_label_fusion(),
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
@@ -5689,4 +5693,124 @@ SELECT CAST(n_items AS BIGINT) AS n_items,
                / (tp_pairs / pred_pairs + tp_pairs / gold_pairs), 6)
        END AS f1
 FROM tp, pp, gp
+"""
+
+
+# ===========================================================================
+# 122-123. weak-supervision label fusion (Dawid-Skene-lite): three token
+# labelers (gazetteer, rarity, capitalization) genuinely disagree; round 1
+# majority-votes, round 2 weights each labeler by its agreement rate and
+# re-votes.  source_accuracy is the reliability table; label_fusion the
+# fused per-token soft labels.
+
+def _vote_fixture(spark, sf_dir):
+    tv = _tview(spark, sf_dir)
+    lt = F.lower(F.col("tok"))
+    freq = tv.groupBy(lt.alias("w")).agg(F.count(F.lit(1)).alias("cnt"))
+    base = (tv.select(F.col("row_id").cast("long").alias("doc_id"),
+                      F.col("pos").cast("long").alias("pos"),
+                      "tok", lt.alias("w"))
+            .join(F.broadcast(freq), "w"))
+
+    def lab(c):
+        return F.when(c, F.lit("ENT")).otherwise(F.lit("O"))
+
+    arms = F.array(
+        F.struct(F.lit("gaz").alias("src"),
+                 lab(F.col("w").isin(*sorted(GAZ_SINGLE))).alias("label")),
+        F.struct(F.lit("freq").alias("src"),
+                 lab(F.col("cnt") <= KAPPA_FREQ_T).alias("label")),
+        F.struct(F.lit("caps").alias("src"),
+                 lab(F.col("tok").rlike("^[A-Z]")).alias("label")),
+    )
+    # one corpus scan: the three labelers are unpacked within-row (explode
+    # of a 3-struct array — narrow), not three UNIONed re-scans
+    return (base.select("doc_id", "pos", F.explode(arms).alias("v"))
+            .select("doc_id", "pos", F.col("v.src").alias("src"),
+                    F.col("v.label").alias("label")))
+
+
+def q_source_accuracy(spark, sf_dir):
+    from .operators.votes import source_accuracy
+
+    return source_accuracy(_vote_fixture(spark, sf_dir), ["doc_id", "pos"])
+
+
+def q_label_fusion(spark, sf_dir):
+    from .operators.votes import fuse_labels
+
+    return fuse_labels(_vote_fixture(spark, sf_dir), ["doc_id", "pos"])
+
+
+def _sql_votes_body() -> str:
+    return f"""
+fr AS (SELECT lower(tok) AS w, count(*) AS cnt FROM toks GROUP BY 1),
+base AS (
+  SELECT CAST(t.doc_id AS BIGINT) AS doc_id, CAST(t.pos AS BIGINT) AS pos,
+         t.tok, lower(t.tok) AS w, f.cnt
+  FROM toks t JOIN fr f ON f.w = lower(t.tok)
+),
+votes AS (
+  SELECT doc_id, pos, 'gaz' AS src,
+         CASE WHEN w IN ({_sql_in_list(GAZ_SINGLE)}) THEN 'ENT' ELSE 'O' END AS label
+  FROM base
+  UNION ALL
+  SELECT doc_id, pos, 'freq',
+         CASE WHEN cnt <= {KAPPA_FREQ_T} THEN 'ENT' ELSE 'O' END FROM base
+  UNION ALL
+  SELECT doc_id, pos, 'caps',
+         CASE WHEN regexp_matches(tok, '^[A-Z]') THEN 'ENT' ELSE 'O' END FROM base
+),
+counts AS (SELECT doc_id, pos, label, count(*) AS n FROM votes GROUP BY 1, 2, 3),
+mv AS (
+  SELECT doc_id, pos, label AS mvl FROM (
+    SELECT doc_id, pos, label,
+           row_number() OVER (PARTITION BY doc_id, pos
+                              ORDER BY n DESC, label) AS rn
+    FROM counts) WHERE rn = 1
+),
+acc AS (
+  SELECT src, count(*) AS n_votes,
+         sum(CASE WHEN v.label = m.mvl THEN 1 ELSE 0 END) AS n_agree
+  FROM votes v JOIN mv m USING (doc_id, pos) GROUP BY src
+)"""
+
+
+def _sql_source_accuracy() -> str:
+    return f"""
+WITH {_SQL_TOKS},
+{_sql_votes_body().strip()}
+SELECT src, CAST(n_votes AS BIGINT) AS n_votes,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       round(n_agree / n_votes, 6) AS accuracy
+FROM acc
+"""
+
+
+def _sql_label_fusion() -> str:
+    return f"""
+WITH {_SQL_TOKS},
+{_sql_votes_body().strip()},
+weighted AS (
+  SELECT doc_id, pos, v.label, sum(a.accuracy) AS w
+  FROM votes v
+  JOIN (SELECT src, round(n_agree / n_votes, 6) AS accuracy FROM acc) a
+    USING (src)
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT doc_id, pos, sum(w) AS total FROM weighted GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, pos, label, w,
+         row_number() OVER (PARTITION BY doc_id, pos
+                            ORDER BY w DESC, label) AS rn
+  FROM weighted
+),
+ns AS (SELECT doc_id, pos, count(DISTINCT src) AS n_sources
+       FROM votes GROUP BY 1, 2)
+SELECT t.doc_id, t.pos, t.label, round(t.w / tt.total, 6) AS score,
+       CAST(ns.n_sources AS BIGINT) AS n_sources
+FROM top t
+JOIN tot tt USING (doc_id, pos)
+JOIN ns USING (doc_id, pos)
+WHERE t.rn = 1
 """

@@ -109,3 +109,74 @@ def mentions_to_votes_direct(mentions: DataFrame, weight: float = 1.0) -> DataFr
 def parse_entity_column(df: DataFrame, col: str, out: str = "entities") -> DataFrame:
     """Eval-side '|'-string -> normalized array (T5/P2/P3)."""
     return df.withColumn(out, string_to_entities(col))
+
+
+def _argmax_label(df: DataFrame, item_cols: list[str], weight_col: str,
+                  label_col: str, out: str) -> DataFrame:
+    """Per item: the label with the largest weight, smallest-label tie-break
+    — a min(struct(-w, label)) AGGREGATION, never a per-item Window (no sort,
+    no skew pile-up on items with many candidate labels)."""
+    top = F.min(F.struct((-F.col(weight_col)).alias("neg"),
+                         F.col(label_col).alias("lab")))
+    return (df.groupBy(*item_cols)
+            .agg(top.alias("_top"), F.sum(weight_col).alias("_total"))
+            .select(*item_cols, F.col("_top.lab").alias(out),
+                    (-F.col("_top.neg")).alias("_w_top"), "_total"))
+
+
+def source_accuracy(votes: DataFrame, item_cols: list[str],
+                    src_col: str = "src",
+                    label_col: str = "label") -> DataFrame:
+    """Round 1+2 of Dawid-Skene-lite source-reliability estimation (the
+    weak-supervision aggregation the reference's dictionary+rule labeler
+    stack needs once labelers disagree): estimate each labeling source's
+    accuracy as its agreement rate with the per-item unweighted majority
+    label (smallest-label tie-break).  Returns (src, n_votes, n_agree,
+    accuracy).
+
+    Shape at scale: one (item, label) count aggregate, one item argmax
+    re-aggregate (min(struct)), one item-keyed equi-join back to the votes
+    (both sides pre-partitioned on the same item key — AQE reuses the
+    exchange), one source-keyed aggregate whose cardinality is |sources|."""
+    counts = (votes.groupBy(*item_cols, label_col)
+              .agg(F.count("*").alias("n")))
+    mv = _argmax_label(counts, item_cols, "n", label_col, "_mv") \
+        .select(*item_cols, "_mv")
+    return (votes.join(mv, item_cols)
+            .groupBy(F.col(src_col).alias("src"))
+            .agg(F.count("*").alias("n_votes"),
+                 F.sum((F.col(label_col) == F.col("_mv")).cast("long"))
+                 .alias("n_agree"))
+            .select("src", F.col("n_votes").cast("long").alias("n_votes"),
+                    F.col("n_agree").cast("long").alias("n_agree"),
+                    F.round(F.col("n_agree") / F.col("n_votes"), 6)
+                    .alias("accuracy")))
+
+
+def fuse_labels(votes: DataFrame, item_cols: list[str],
+                src_col: str = "src",
+                label_col: str = "label") -> DataFrame:
+    """Dawid-Skene-lite label fusion: majority vote -> source accuracies
+    (source_accuracy) -> accuracy-weighted re-vote.  Returns one row per
+    item: (*item_cols, label, score, n_sources) with score = the winning
+    label's weight share of the item's total vote weight — the calibrated
+    soft label downstream confidence thresholds (P8) consume.
+
+    Two fixed rounds, not EM-to-convergence: the standard production
+    trade-off (Snorkel's MajorityLabelVoter -> LabelModel step), keeping
+    every pass a hash aggregate or a broadcast join — the accuracy table is
+    |sources| rows and is BROADCAST onto the vote stream, so the second
+    round adds zero shuffles beyond the final (item, label) aggregate."""
+    acc = source_accuracy(votes, item_cols, src_col, label_col) \
+        .select(F.col("src").alias(src_col), "accuracy")
+    weighted = (votes.join(F.broadcast(acc), src_col)
+                .groupBy(*item_cols, label_col)
+                .agg(F.sum("accuracy").alias("w")))
+    fused = _argmax_label(weighted, item_cols, "w", label_col, "label")
+    n_src = (votes.groupBy(*item_cols)
+             .agg(F.countDistinct(src_col).alias("n_sources")))
+    return (fused.join(n_src, item_cols)
+            .select(*item_cols, "label",
+                    F.round(F.col("_w_top") / F.col("_total"), 6)
+                    .alias("score"),
+                    F.col("n_sources").cast("long").alias("n_sources")))

@@ -67,3 +67,40 @@ def test_pairwise_cluster_metrics_all_singletons(spark):
     # no pairs on either side -> NULL-guarded metrics, not a crash
     assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (0, 0, 0)
     assert r["precision"] is None and r["recall"] is None and r["f1"] is None
+
+
+def test_source_accuracy_and_fusion(spark):
+    from ht_ner_spark.operators.votes import fuse_labels, source_accuracy
+
+    # items i1, i2: good (always right), flip (right on i1 only),
+    # anti (always wrong vs majority)
+    votes = spark.createDataFrame(
+        [("i1", "good", "A"), ("i1", "flip", "A"), ("i1", "anti", "B"),
+         ("i2", "good", "B"), ("i2", "flip", "A"), ("i2", "anti", "A")],
+        "item string, src string, label string")
+    # majority: i1 -> A (2-1); i2 -> A (2-1, 'A' < 'B' irrelevant: counts 2-1)
+    acc = {r["src"]: r for r in
+           source_accuracy(votes, ["item"]).collect()}
+    assert acc["flip"]["accuracy"] == 1.0      # agrees with majority twice
+    assert acc["good"]["accuracy"] == 0.5
+    assert acc["anti"]["accuracy"] == 0.5
+    assert acc["good"]["n_votes"] == 2 and acc["good"]["n_agree"] == 1
+
+    fused = {r["item"]: r for r in fuse_labels(votes, ["item"]).collect()}
+    # i1: A gets 1.0 + 0.5 = 1.5, B gets 0.5 -> A, score 0.75
+    assert fused["i1"]["label"] == "A" and fused["i1"]["score"] == 0.75
+    assert fused["i1"]["n_sources"] == 3
+    # i2: A gets flip 1.0 + anti 0.5 = 1.5, B gets good 0.5 -> A, 0.75
+    assert fused["i2"]["label"] == "A" and fused["i2"]["score"] == 0.75
+
+
+def test_fusion_tiebreak_smallest_label(spark):
+    from ht_ner_spark.operators.votes import fuse_labels
+
+    votes = spark.createDataFrame(
+        [("i", "s1", "Z"), ("i", "s2", "A")],
+        "item string, src string, label string")
+    # both sources 50% "accurate" (majority tie-break picks A; s2 agrees,
+    # s1 disagrees -> acc 1.0 / 0.0) -> weighted: A=1.0, Z=0.0 -> A
+    r = fuse_labels(votes, ["item"]).collect()[0]
+    assert r["label"] == "A"
