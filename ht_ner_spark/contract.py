@@ -666,18 +666,24 @@ WHERE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
 # 12. connected components (J9) — token-adjacency graph, recursive-CTE oracle
 
 CC_DOCS = 30
+CC_DELTA_DOCS = 60
 
 
-def q_connected_components(spark, sf_dir):
-    tv = _tview(spark, sf_dir).where(F.col("row_id") < CC_DOCS)
+def _cc_edges(spark, sf_dir, lo: int, hi: int):
+    tv = _tview(spark, sf_dir).where(
+        (F.col("row_id") >= lo) & (F.col("row_id") < hi))
     w = Window.partitionBy("row_id").orderBy("pos")
     gaz = sorted(GAZ_SINGLE)
-    edges = (
+    return (
         tv.withColumn("nxt", F.lead("tok").over(w))
         .where(F.lower("tok").isin(gaz) & F.lower("nxt").isin(gaz))
         .select(F.lower("tok").alias("src"), F.lower("nxt").alias("dst"))
         .distinct()
     )
+
+
+def q_connected_components(spark, sf_dir):
+    edges = _cc_edges(spark, sf_dir, 0, CC_DOCS)
     return connected_components(edges, max_iter=15).select("entity_id", "component_id")
 
 
@@ -705,6 +711,25 @@ reach(n, l) AS (
 )
 SELECT n AS entity_id, MIN(l) AS component_id FROM reach GROUP BY n
 """
+
+
+# ===========================================================================
+# 12b. incremental connected components (124): fold the epoch-2 delta edges
+# (docs 30..60) into the epoch-1 assignment; must equal the full recompute,
+# so the oracle is simply the recursive-CTE CC over the UNION graph.
+
+def q_cc_incremental(spark, sf_dir):
+    from .operators.components import incremental_components
+
+    old = _cc_edges(spark, sf_dir, 0, CC_DOCS)
+    delta = _cc_edges(spark, sf_dir, CC_DOCS, CC_DELTA_DOCS)
+    assign = connected_components(old, max_iter=15)
+    return incremental_components(assign, delta, max_iter=15).select(
+        "entity_id", "component_id")
+
+
+SQL_CC_INCREMENTAL = SQL_CONNECTED_COMPONENTS.replace(
+    f"doc_id < {CC_DOCS}", f"doc_id < {CC_DELTA_DOCS}")
 
 
 # ===========================================================================
@@ -2131,6 +2156,7 @@ def queries() -> dict:
         "er_cluster_metrics": q_er_cluster_metrics,
         "source_accuracy": q_source_accuracy,
         "label_fusion": q_label_fusion,
+        "cc_incremental": q_cc_incremental,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
         # full rows+schema+hash gates like everything else:
@@ -2210,6 +2236,7 @@ def oracle_sql() -> dict:
         "er_cluster_metrics": SQL_ER_CLUSTER_METRICS,
         "source_accuracy": _sql_source_accuracy(),
         "label_fusion": _sql_label_fusion(),
+        "cc_incremental": SQL_CC_INCREMENTAL,
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

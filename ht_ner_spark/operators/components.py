@@ -154,3 +154,52 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     return labels.select(
         F.col("v").alias("entity_id"), F.col("l").alias("component_id")
     )
+
+
+def incremental_components(assign: DataFrame, delta_edges: DataFrame,
+                           **cc_kwargs) -> DataFrame:
+    """Incremental stage-3 maintenance: fold a batch of NEW alias edges into
+    an existing COMPONENTS assignment without recomputing over the full
+    edge history — the consolidation pass the streaming triple path
+    (streaming/windowed.py's merge-on-read deltas) runs per epoch.
+
+    Correctness device: because ``component_id`` is the component's min
+    entity, the existing assignment IS a contraction of the old graph.  So:
+    (1) relabel the delta endpoints with their current component (unseen
+    endpoints label themselves), (2) run connected_components on that
+    CONTRACTED edge set — sized by the delta, not the corpus — and (3) join
+    the relabel map back onto the full assignment.  The min-label election
+    composes (min of mins is the global min), so the output is row-identical
+    to a full recompute over old ∪ delta edges (property-tested).
+
+    Shape at scale: the iterative CC touches only components adjacent to
+    delta edges; the corpus-sized assignment is read once and joined once
+    against a relabel map bounded by the affected components (AQE
+    broadcasts it for any realistic delta).  No shuffle of the assignment
+    beyond that single join."""
+    ep = delta_edges.select("src", "dst")
+    a_src = assign.select(F.col("entity_id").alias("src"),
+                          F.col("component_id").alias("lsrc"))
+    a_dst = assign.select(F.col("entity_id").alias("dst"),
+                          F.col("component_id").alias("ldst"))
+    contracted = (ep.join(a_src, "src", "left").join(a_dst, "dst", "left")
+                  .select(F.coalesce("lsrc", F.col("src")).alias("src"),
+                          F.coalesce("ldst", F.col("dst")).alias("dst"))
+                  .where(F.col("src") != F.col("dst"))
+                  .distinct())
+    merged = connected_components(contracted, **cc_kwargs)
+    relabel = merged.select(F.col("entity_id").alias("component_id"),
+                            F.col("component_id").alias("_new"))
+
+    nodes = (ep.select(F.col("src").alias("entity_id"))
+             .union(ep.select(F.col("dst").alias("entity_id"))).distinct())
+    new_nodes = (nodes.join(assign.select("entity_id"), "entity_id",
+                            "left_anti")
+                 .select("entity_id",
+                         F.col("entity_id").alias("component_id")))
+    return (assign.select("entity_id", "component_id")
+            .unionByName(new_nodes)
+            .join(relabel, "component_id", "left")
+            .select("entity_id",
+                    F.coalesce("_new", F.col("component_id"))
+                    .alias("component_id")))

@@ -194,7 +194,8 @@ def blocking_quality(cand_pairs: DataFrame, grams: DataFrame,
     n_gold = gold.agg(F.count("*").alias("n_gold"))
     n_found = gold.join(cand_pairs.select("src", "dst").distinct(),
                         ["src", "dst"]).agg(F.count("*").alias("n_found"))
-    total = (F.col("n_entities") * (F.col("n_entities") - 1) / 2).cast("long")
+    # exact integer C(n,2): double division would round past 2^53 pairs
+    total = F.shiftright(F.col("n_entities") * (F.col("n_entities") - 1), 1)
     return (n_ent.join(F.broadcast(n_cand))
             .join(F.broadcast(n_gold)).join(F.broadcast(n_found))
             .select(

@@ -231,7 +231,10 @@ def pairwise_cluster_metrics(assign: DataFrame,
     second small re-agg).  Hub clusters are single aggregate cells, not
     quadratic blow-ups."""
     def npairs(c):
-        return F.sum((c * (c - 1) / 2).cast("long"))
+        # c*(c-1) is even, so a right shift is the exact C(c,2) — dividing
+        # by 2 in double would silently round once the pair count passes
+        # 2^53 (a 10^8-member hub cluster is 5*10^15 pairs; real at 100 TB)
+        return F.shiftright(F.sum(c * (c - 1)), 1)
 
     cont = (assign.groupBy(pred_col, gold_col)
             .agg(F.count("*").alias("n"))).localCheckpoint()

@@ -158,3 +158,55 @@ def test_blocking_quality_empty_gold_is_null(spark):
     r = blocking_quality(cand, grams, min_jaccard=0.5).collect()[0]
     assert r["n_gold"] == 0 and r["pairs_completeness"] is None
     assert r["reduction_ratio"] == 1.0
+
+
+def _cc_sorted(df):
+    return sorted((r["entity_id"], r["component_id"]) for r in df.collect())
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    from ht_ner_spark.operators.components import (connected_components,
+                                                   incremental_components)
+
+    old = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d"), ("g", "f")],
+        "src string, dst string")
+    # delta: bridges two old components (c-d), attaches a new node (h-g),
+    # adds a new-nodes-only component (x-y), and a no-op edge (a-b)
+    delta = spark.createDataFrame(
+        [("c", "d"), ("h", "g"), ("x", "y"), ("a", "b")],
+        "src string, dst string")
+    assign = connected_components(old)
+    inc = incremental_components(assign, delta)
+    full = connected_components(old.union(delta))
+    assert _cc_sorted(inc) == _cc_sorted(full)
+
+
+def test_incremental_components_distributed_paths_agree(spark):
+    from ht_ner_spark.operators.components import (connected_components,
+                                                   incremental_components)
+
+    old = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(0, 20, 2)],
+        "src string, dst string")
+    delta = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(1, 19, 2)],
+        "src string, dst string")   # chains everything into one component
+    assign = connected_components(old)
+    # force the distributed loop inside the incremental merge too
+    inc = incremental_components(assign, delta, driver_budget=0)
+    full = connected_components(old.union(delta))
+    assert _cc_sorted(inc) == _cc_sorted(full)
+    # single chain -> everything labeled n00
+    assert {c for _, c in _cc_sorted(inc)} == {"n00"}
+
+
+def test_incremental_components_empty_delta(spark):
+    from ht_ner_spark.operators.components import (connected_components,
+                                                   incremental_components)
+
+    old = spark.createDataFrame([("b", "a")], "src string, dst string")
+    assign = connected_components(old)
+    delta = spark.createDataFrame([], "src string, dst string")
+    assert _cc_sorted(incremental_components(assign, delta)) \
+        == _cc_sorted(assign)
