@@ -93,6 +93,13 @@ EXTRA_OPS = [
     "scd2_intervals",
     "alias_canonical",
     "pred_cardinality",
+    # round-4 post-stage-4 consumers + ER evaluation + fusion
+    "entity_types",
+    "pg_export",
+    "blocking_quality",
+    "er_cluster_metrics",
+    "label_fusion",
+    "cc_incremental",
 ]
 
 # 600k rows: large enough that the pipeline's fixed multi-job floor (stage
