@@ -2157,6 +2157,7 @@ def queries() -> dict:
         "source_accuracy": q_source_accuracy,
         "label_fusion": q_label_fusion,
         "cc_incremental": q_cc_incremental,
+        "schema_graph": q_schema_graph,
         # non-SQL-derivable (iterative EM; stubbed media decode) — paired
         # against committed golden parquets since round 3, so these are
         # full rows+schema+hash gates like everything else:
@@ -2237,6 +2238,7 @@ def oracle_sql() -> dict:
         "source_accuracy": _sql_source_accuracy(),
         "label_fusion": _sql_label_fusion(),
         "cc_incremental": SQL_CC_INCREMENTAL,
+        "schema_graph": SQL_SCHEMA_GRAPH,
         "trie_gazetteer": _sql_trie_gazetteer(),
         "ann_bucketed": SQL_ANN_BUCKETED,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
@@ -5508,6 +5510,46 @@ SELECT ('0x' || substr(md5(subj), 1, 15))::BIGINT AS src_id,
        ('0x' || substr(md5(obj), 1, 15))::BIGINT AS dst_id,
        subj, pred, obj
 FROM t
+"""
+
+
+# ===========================================================================
+# 125. schema induction: the (subj_type, pred, obj_type) ontology graph
+# over predicate-profile entity types (repos never appear as objects, so
+# they surface as '<untyped>' subjects — itself a data-quality signal)
+
+def q_schema_graph(spark, sf_dir):
+    from .operators.code import code_triples
+    from .operators.triples import induce_schema, infer_entity_types
+
+    # two consumers (the typing aggregate and the schema joins): materialize
+    # the triple set once instead of re-running both extractor scans
+    trip = code_triples(_code_view(spark, sf_dir)).localCheckpoint()
+    types = infer_entity_types(trip, weight_col="n_witnesses") \
+        .select("entity", "entity_type")
+    return induce_schema(trip, types)
+
+
+SQL_SCHEMA_GRAPH = f"""
+WITH {_SQL_CODE_BASE},
+{_SQL_CODE_TRIPLES_BODY.strip()},
+t AS (SELECT DISTINCT subj, pred, obj FROM trip),
+w AS (SELECT obj, pred, count(DISTINCT doc_id) AS n FROM trip GROUP BY 1, 2),
+ty AS (
+  SELECT obj AS entity, pred AS entity_type FROM (
+    SELECT obj, pred,
+           row_number() OVER (PARTITION BY obj ORDER BY n DESC, pred) AS rn
+    FROM w) WHERE rn = 1
+)
+SELECT coalesce(ts.entity_type, '<untyped>') AS subj_type, t.pred,
+       coalesce(tu.entity_type, '<untyped>') AS obj_type,
+       CAST(count(*) AS BIGINT) AS n_facts,
+       CAST(count(DISTINCT t.subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT t.obj) AS BIGINT) AS n_objects
+FROM t
+LEFT JOIN ty ts ON ts.entity = t.subj
+LEFT JOIN ty tu ON tu.entity = t.obj
+GROUP BY 1, 2, 3
 """
 
 

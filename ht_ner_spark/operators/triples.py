@@ -331,6 +331,42 @@ def infer_entity_types(triples: DataFrame,
                     .alias("confidence")))
 
 
+def induce_schema(triples: DataFrame, types: DataFrame) -> DataFrame:
+    """Schema/ontology induction: collapse the instance-level KG to its
+    (subj_type, pred, obj_type) type graph with fact and participant
+    counts — the structural summary a KG-construction pipeline publishes
+    so consumers can discover what relations exist between which entity
+    classes without scanning instances.  ``types`` is an (entity,
+    entity_type) table (infer_entity_types output); entities absent from
+    it report as '<untyped>' — a data-quality signal in itself.
+
+    Returns (subj_type, pred, obj_type, n_facts, n_subjects, n_objects).
+
+    Shape at scale: two equi-joins of the triple stream against the
+    entity-sized type dimension (AQE broadcasts it when small, hash-joins
+    co-partitioned otherwise), then one aggregate whose key cardinality is
+    |types|^2 * |preds| — tiny — with distinct counts planned as two-phase
+    partials.  No self-joins, no windows."""
+    st = types.select(F.col("entity").alias("subj"),
+                      F.col("entity_type").alias("subj_type"))
+    ot = types.select(F.col("entity").alias("obj"),
+                      F.col("entity_type").alias("obj_type"))
+    return (triples.select("subj", "pred", "obj")
+            .join(st, "subj", "left").join(ot, "obj", "left")
+            .groupBy(F.coalesce("subj_type", F.lit("<untyped>"))
+                     .alias("subj_type"),
+                     "pred",
+                     F.coalesce("obj_type", F.lit("<untyped>"))
+                     .alias("obj_type"))
+            .agg(F.count("*").alias("n_facts"),
+                 F.countDistinct("subj").alias("n_subjects"),
+                 F.countDistinct("obj").alias("n_objects"))
+            .select("subj_type", "pred", "obj_type",
+                    F.col("n_facts").cast("long").alias("n_facts"),
+                    F.col("n_subjects").cast("long").alias("n_subjects"),
+                    F.col("n_objects").cast("long").alias("n_objects")))
+
+
 def export_property_graph(triples: DataFrame,
                           id_hex_digits: int = 15) -> DataFrame:
     """Embedding-training export: the deduplicated triple set as an integer

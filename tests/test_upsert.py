@@ -217,3 +217,22 @@ def test_export_property_graph_ids(spark):
     # shared node -> identical id across edges (hash-portable invariant)
     assert by_edge[("a", "defines", "m1")]["dst_id"] == e["dst_id"]
     assert by_edge[("a", "defines", "m1")]["src_id"] == e["src_id"]
+
+
+def test_induce_schema_typed_and_untyped(spark):
+    from ht_ner_spark.operators.triples import induce_schema
+
+    t = spark.createDataFrame(
+        [("r1", "imports", "m1"), ("r1", "imports", "m2"),
+         ("r2", "imports", "m1"), ("r1", "defines", "s1")],
+        "subj string, pred string, obj string")
+    types = spark.createDataFrame(
+        [("m1", "module"), ("m2", "module"), ("s1", "symbol")],
+        "entity string, entity_type string")
+    got = {(r["subj_type"], r["pred"], r["obj_type"]):
+           (r["n_facts"], r["n_subjects"], r["n_objects"])
+           for r in induce_schema(t, types).collect()}
+    assert got == {
+        ("<untyped>", "imports", "module"): (3, 2, 2),
+        ("<untyped>", "defines", "symbol"): (1, 1, 1),
+    }
