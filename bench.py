@@ -100,6 +100,7 @@ EXTRA_OPS = [
     "er_cluster_metrics",
     "label_fusion",
     "cc_incremental",
+    "schema_graph",
 ]
 
 # 600k rows: large enough that the pipeline's fixed multi-job floor (stage

@@ -5418,11 +5418,7 @@ SELECT user_id, event_type, value, valid_from, version FROM (
 def q_alias_canonical(spark, sf_dir):
     from .operators.code import canonical_aliases
 
-    idents = _ident_surfaces(spark, sf_dir, lambda clean, cap: [
-        F.concat(clean(1), cap(clean(2))),                # camelCase
-        F.concat(clean(1), F.lit("_"), clean(2)),         # snake_case
-        F.concat(cap(clean(1)), cap(clean(2))),           # PascalCase
-    ])
+    idents = _ident_surfaces(spark, sf_dir, _ident_casing_variants)
     out = canonical_aliases(idents)
     return out.select(
         "canonical", F.col("n_variants").cast("long").alias("n_variants"),
@@ -5562,23 +5558,41 @@ GROUP BY 1, 2, 3
 BLOCKING_GOLD_TAU = 0.5
 
 
-def q_blocking_quality(spark, sf_dir):
-    from .operators.linking import (blocking_quality, lsh_candidates,
-                                    minhash_signatures, surface_grams)
+def _ident_casing_variants(clean, cap):
+    """The shared three-casing surface family (camelCase / snake_case /
+    PascalCase of the same token pair) used by every blocking/ER query."""
+    return [F.concat(clean(1), cap(clean(2))),
+            F.concat(clean(1), F.lit("_"), clean(2)),
+            F.concat(cap(clean(1)), cap(clean(2)))]
 
-    idents = _ident_surfaces(spark, sf_dir, lambda clean, cap: [
-        F.concat(clean(1), cap(clean(2))),                # camelCase
-        F.concat(clean(1), F.lit("_"), clean(2)),         # snake_case
-        F.concat(cap(clean(1)), cap(clean(2))),           # PascalCase
-    ]).distinct()
+
+def _ident_lsh(spark, sf_dir):
+    """Shared blocking fixture: distinct casing-variant identifier surfaces
+    -> (idents, grams, LSH candidate pairs).  idents is materialized once —
+    the callers fan it into several consumers."""
+    from .operators.linking import (lsh_candidates, minhash_signatures,
+                                    surface_grams)
+
+    idents = _ident_surfaces(spark, sf_dir, _ident_casing_variants) \
+        .distinct().localCheckpoint()
     grams = surface_grams(idents, col="symbol", n=3)
     sig = minhash_signatures(grams, num_bands=LSH_BANDS, use_md5=True)
     pairs, _ = lsh_candidates(sig, max_block=50)
+    return idents, grams, pairs
+
+
+def q_blocking_quality(spark, sf_dir):
+    from .operators.linking import blocking_quality
+
+    _, grams, pairs = _ident_lsh(spark, sf_dir)
     return blocking_quality(pairs, grams, min_jaccard=BLOCKING_GOLD_TAU)
 
 
-SQL_BLOCKING_QUALITY = f"""
-WITH {_SQL_CODE_BASE},
+# shared oracle CTE chain for the casing-variant LSH blocking fixture:
+# surfaces -> lowered padded 3-grams -> banded md5 minhash -> block-capped
+# candidate pairs (+ gsets for exact Jaccard) — composed after
+# _SQL_CODE_BASE by both blocking_quality and er_cluster_metrics
+_SQL_IDENT_LSH_BODY = f"""
 c AS (
   SELECT regexp_replace(toks[1], '[^a-z0-9_]', '', 'g') AS t1,
          regexp_replace(toks[2], '[^a-z0-9_]', '', 'g') AS t2
@@ -5615,7 +5629,12 @@ gsets AS (
   SELECT symbol, list_distinct(
            [substr(p, i, 3) FOR i IN range(1, greatest(len(p) - 2, 1) + 1)]) AS gs
   FROM (SELECT symbol, '^' || lower(symbol) || '$' AS p FROM surf)
-),
+)"""
+
+
+SQL_BLOCKING_QUALITY = f"""
+WITH {_SQL_CODE_BASE},
+{_SQL_IDENT_LSH_BODY.strip()},
 gold AS (
   SELECT a.symbol AS src, b.symbol AS dst
   FROM gsets a JOIN gsets b ON a.symbol < b.symbol
@@ -5649,18 +5668,10 @@ FROM m
 def q_er_cluster_metrics(spark, sf_dir):
     from .operators.code import split_identifiers
     from .operators.components import connected_components
-    from .operators.linking import (jaccard_verify, lsh_candidates,
-                                    minhash_signatures, surface_grams)
+    from .operators.linking import jaccard_verify
     from .operators.metrics import pairwise_cluster_metrics
 
-    idents = _ident_surfaces(spark, sf_dir, lambda clean, cap: [
-        F.concat(clean(1), cap(clean(2))),                # camelCase
-        F.concat(clean(1), F.lit("_"), clean(2)),         # snake_case
-        F.concat(cap(clean(1)), cap(clean(2))),           # PascalCase
-    ]).distinct()
-    grams = surface_grams(idents, col="symbol", n=3)
-    sig = minhash_signatures(grams, num_bands=LSH_BANDS, use_md5=True)
-    pairs, _ = lsh_candidates(sig, max_block=50)
+    idents, _, pairs = _ident_lsh(spark, sf_dir)
     edges = jaccard_verify(pairs, n=3, min_jaccard=0.4).select("src", "dst")
     comp = connected_components(edges, max_iter=15)
     gold = split_identifiers(idents, ident_col="symbol").select(
@@ -5674,43 +5685,7 @@ def q_er_cluster_metrics(spark, sf_dir):
 
 SQL_ER_CLUSTER_METRICS = f"""
 WITH RECURSIVE {_SQL_CODE_BASE},
-c AS (
-  SELECT regexp_replace(toks[1], '[^a-z0-9_]', '', 'g') AS t1,
-         regexp_replace(toks[2], '[^a-z0-9_]', '', 'g') AS t2
-  FROM ok
-),
-surf AS (
-  SELECT DISTINCT symbol FROM (
-    SELECT t1 || upper(substr(t2, 1, 1)) || substr(t2, 2) AS symbol FROM c
-    UNION ALL SELECT t1 || '_' || t2 FROM c
-    UNION ALL SELECT upper(substr(t1, 1, 1)) || substr(t1, 2)
-                  || upper(substr(t2, 1, 1)) || substr(t2, 2) FROM c
-  )
-),
-g AS (
-  SELECT symbol, unnest(list_distinct(
-           [substr(p, i, 3) FOR i IN range(1, greatest(len(p) - 2, 1) + 1)])) AS gram
-  FROM (SELECT symbol, '^' || lower(symbol) || '$' AS p FROM surf)
-),
-banded AS (
-  SELECT symbol, gram, unnest(range(0, {LSH_BANDS})) AS band FROM g
-),
-sigs AS (
-  SELECT symbol, band, MIN(md5(band || ':' || gram)) AS sig
-  FROM banded GROUP BY symbol, band
-),
-sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bs FROM sigs),
-okb AS (SELECT * FROM sized WHERE bs <= 50),
-cand AS (
-  SELECT DISTINCT a.symbol AS src, b.symbol AS dst
-  FROM okb a JOIN okb b
-    ON a.band = b.band AND a.sig = b.sig AND a.symbol < b.symbol
-),
-gsets AS (
-  SELECT symbol, list_distinct(
-           [substr(p, i, 3) FOR i IN range(1, greatest(len(p) - 2, 1) + 1)]) AS gs
-  FROM (SELECT symbol, '^' || lower(symbol) || '$' AS p FROM surf)
-),
+{_SQL_IDENT_LSH_BODY.strip()},
 edges AS (
   SELECT src, dst FROM cand
   JOIN gsets ga ON ga.symbol = cand.src

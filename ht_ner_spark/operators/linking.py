@@ -172,6 +172,11 @@ def blocking_quality(cand_pairs: DataFrame, grams: DataFrame,
     ceil(|g|*(1-t)/(1+t)) grams — documented, not needed at eval scale
     because the audit runs on a SAMPLE of the entity universe anyway).
     Final metrics are four broadcast-joined scalar aggregates."""
+    # grams feeds four consumers (sizes, both sides of the inverted-index
+    # self-join, n_entities) and cand two (n_cand, n_found): materialize
+    # each once instead of re-running the upstream scan per consumer
+    grams = grams.localCheckpoint()
+    cand = cand_pairs.select("src", "dst").distinct().localCheckpoint()
     sizes = grams.groupBy("surface").agg(F.count("*").alias("sz"))
     a = grams.alias("a").join(grams.alias("b"), "gram").where(
         F.col("a.surface") < F.col("b.surface"))
@@ -189,11 +194,10 @@ def blocking_quality(cand_pairs: DataFrame, grams: DataFrame,
     gold = gold.localCheckpoint()  # two consumers: n_gold and n_found
 
     n_ent = sizes.agg(F.count("*").alias("n_entities"))
-    n_cand = cand_pairs.select("src", "dst").distinct().agg(
-        F.count("*").alias("n_cand"))
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
     n_gold = gold.agg(F.count("*").alias("n_gold"))
-    n_found = gold.join(cand_pairs.select("src", "dst").distinct(),
-                        ["src", "dst"]).agg(F.count("*").alias("n_found"))
+    n_found = gold.join(cand, ["src", "dst"]).agg(
+        F.count("*").alias("n_found"))
     # exact integer C(n,2): double division would round past 2^53 pairs
     total = F.shiftright(F.col("n_entities") * (F.col("n_entities") - 1), 1)
     return (n_ent.join(F.broadcast(n_cand))

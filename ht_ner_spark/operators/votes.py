@@ -138,6 +138,15 @@ def source_accuracy(votes: DataFrame, item_cols: list[str],
     re-aggregate (min(struct)), one item-keyed equi-join back to the votes
     (both sides pre-partitioned on the same item key — AQE reuses the
     exchange), one source-keyed aggregate whose cardinality is |sources|."""
+    # two consumers of the votes plan (counts + the majority join):
+    # materialize once rather than re-run the upstream fixture per consumer
+    return _source_accuracy(votes.localCheckpoint(), item_cols,
+                            src_col, label_col)
+
+
+def _source_accuracy(votes: DataFrame, item_cols: list[str],
+                     src_col: str, label_col: str) -> DataFrame:
+    """source_accuracy body over an already-materialized votes frame."""
     counts = (votes.groupBy(*item_cols, label_col)
               .agg(F.count("*").alias("n")))
     mv = _argmax_label(counts, item_cols, "n", label_col, "_mv") \
@@ -167,7 +176,10 @@ def fuse_labels(votes: DataFrame, item_cols: list[str],
     every pass a hash aggregate or a broadcast join — the accuracy table is
     |sources| rows and is BROADCAST onto the vote stream, so the second
     round adds zero shuffles beyond the final (item, label) aggregate."""
-    acc = source_accuracy(votes, item_cols, src_col, label_col) \
+    # four consumers of the votes plan (round-1 counts, the majority join,
+    # the weighted re-vote, n_sources): materialize once
+    votes = votes.localCheckpoint()
+    acc = _source_accuracy(votes, item_cols, src_col, label_col) \
         .select(F.col("src").alias(src_col), "accuracy")
     weighted = (votes.join(F.broadcast(acc), src_col)
                 .groupBy(*item_cols, label_col)
