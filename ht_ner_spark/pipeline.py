@@ -100,28 +100,32 @@ def _frequency_inputs(corpus: DataFrame, cfg: PipelineConfig):
     dict when the top-k fits the broadcast budget, else the relational
     fallback inputs.
 
-    ONE Spark job on the common path: collect up to budget+1 UNRANKED
-    (tok, cnt, first_seen) aggregates — `limit(n)` returning fewer than n
-    rows proves the subset IS the whole vocabulary — and rank driver-side
-    (Counter.most_common is a driver-side sort in the reference too). The
-    distributed exact rank (operators/rank.py) is the oversized-vocabulary
-    fallback: correct at 10^9 tokens, but 3 extra jobs of pure serial floor
-    when the vocab fits in a dict (BASELINE.md: the floor is what divides
-    the N-vs-4N levels)."""
+    Serial-floor discipline (this block is the scaling bottleneck the
+    per-stage bench decomposition exposed — s1_freq efficiency 0.40 when
+    it collected the WHOLE vocabulary through a single-task CollectLimit
+    and re-sorted it in driver Python): the aggregate is materialized ONCE
+    (localCheckpoint — vocab-sized, bounded by the broadcast budget check
+    below), its size comes from a parallel count, and only the top
+    ``max(THRESHOLDS)`` fraction — the only part ever ranked — is
+    collected, ALREADY ordered by Spark's TakeOrderedAndProject
+    (per-partition top-k, driver merge; no full-vocab single task and no
+    driver-side sort). The (-cnt, first_seen) order is total — one token
+    per (row, pos) — so the collected prefix is deterministic. The
+    distributed exact rank (operators/rank.py) remains the
+    oversized-vocabulary fallback: correct at 10^9 tokens."""
     tview = token_view(with_tokens(corpus))
     budget = cfg.max_broadcast_vocab
     agg = ar.word_frequency_agg(tview)
-    head = agg.limit(budget + 1).collect()
-    if len(head) <= budget:
-        vocab_size = len(head)
+    # probe the budget BEFORE materializing: a 10^9-token vocabulary must
+    # not be pinned executor-side just to learn it is oversized
+    probe = agg.limit(budget + 1).localCheckpoint()
+    vocab_size = probe.count()
+    if vocab_size <= budget:
         max_k = max(int(vocab_size * t) for t in ar.THRESHOLDS)
         cutoffs = [(f"freq_{t}", int(vocab_size * t)) for t in ar.THRESHOLDS]
-        # first_seen is a struct(r=row_id, p=pos) Row — compare as a tuple
-        ordered = sorted(
-            head,
-            key=lambda r: (-r["cnt"], (r["first_seen"]["r"], r["first_seen"]["p"])),
-        )
-        ranks = {r["tok"]: i + 1 for i, r in enumerate(ordered[:max_k])}
+        head = (probe.orderBy(F.desc("cnt"), F.asc("first_seen"))
+                .limit(max_k).collect())
+        ranks = {r["tok"]: i + 1 for i, r in enumerate(head)}
         return ranks, cutoffs, None, None
     # oversized vocabulary: relational fallback (distributed exact rank)
     freq = ar.word_frequency(tview).cache()
