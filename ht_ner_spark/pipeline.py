@@ -100,33 +100,48 @@ def _frequency_inputs(corpus: DataFrame, cfg: PipelineConfig):
     dict when the top-k fits the broadcast budget, else the relational
     fallback inputs.
 
-    Serial-floor discipline (this block is the scaling bottleneck the
-    per-stage bench decomposition exposed — s1_freq efficiency 0.40 when
-    it collected the WHOLE vocabulary through a single-task CollectLimit
-    and re-sorted it in driver Python): the aggregate is materialized ONCE
-    (localCheckpoint — vocab-sized, bounded by the broadcast budget check
-    below), its size comes from a parallel count, and only the top
-    ``max(THRESHOLDS)`` fraction — the only part ever ranked — is
-    collected, ALREADY ordered by Spark's TakeOrderedAndProject
-    (per-partition top-k, driver merge; no full-vocab single task and no
-    driver-side sort). The (-cnt, first_seen) order is total — one token
-    per (row, pos) — so the collected prefix is deterministic. The
+    Serial-floor discipline (this block was the scaling bottleneck the
+    per-stage bench decomposition exposed — s1_freq efficiency 0.40):
+    the root cause is AQE partition coalescing — a vocabulary-sized
+    aggregate output (~tens of MB) sits under the advisory partition
+    size, so AQE collapses the FINAL aggregation to one partition and
+    every downstream step (cache build, count, sort, collect) runs as a
+    single task at any core count.  So: coalescing is disabled around
+    this block only (the vocab agg is the one frame in the pipeline
+    small enough to trigger it yet hot enough to matter), the aggregate
+    is cached COLUMNAR (MEMORY_AND_DISK — an oversized vocabulary spills
+    to local disk instead of OOMing, so no pre-probe is needed), its
+    exact size comes from a parallel count that also materializes the
+    cache, and only the top ``max(THRESHOLDS)`` fraction — the only part
+    ever ranked — is collected, ordered by TakeOrderedAndProject over
+    the cached multi-partition frame (per-partition bounded top-k,
+    driver merge; no full-vocab single task and no driver-side Python
+    sort). The (-cnt, first_seen) order is total — one token per
+    (row, pos) — so the collected prefix is deterministic. The
     distributed exact rank (operators/rank.py) remains the
     oversized-vocabulary fallback: correct at 10^9 tokens."""
+    from pyspark import StorageLevel
+
+    spark = corpus.sparkSession
     tview = token_view(with_tokens(corpus))
     budget = cfg.max_broadcast_vocab
-    agg = ar.word_frequency_agg(tview)
-    # probe the budget BEFORE materializing: a 10^9-token vocabulary must
-    # not be pinned executor-side just to learn it is oversized
-    probe = agg.limit(budget + 1).localCheckpoint()
-    vocab_size = probe.count()
-    if vocab_size <= budget:
-        max_k = max(int(vocab_size * t) for t in ar.THRESHOLDS)
-        cutoffs = [(f"freq_{t}", int(vocab_size * t)) for t in ar.THRESHOLDS]
-        head = (probe.orderBy(F.desc("cnt"), F.asc("first_seen"))
-                .limit(max_k).collect())
-        ranks = {r["tok"]: i + 1 for i, r in enumerate(head)}
-        return ranks, cutoffs, None, None
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    agg = ar.word_frequency_agg(tview).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        vocab_size = agg.count()
+        if vocab_size <= budget:
+            max_k = max(int(vocab_size * t) for t in ar.THRESHOLDS)
+            cutoffs = [(f"freq_{t}", int(vocab_size * t))
+                       for t in ar.THRESHOLDS]
+            head = (agg.orderBy(F.desc("cnt"), F.asc("first_seen"))
+                    .limit(max_k).collect())
+            ranks = {r["tok"]: i + 1 for i, r in enumerate(head)}
+            return ranks, cutoffs, None, None
+    finally:
+        agg.unpersist()
+        spark.conf.set(coalesce_key, prev)
     # oversized vocabulary: relational fallback (distributed exact rank)
     freq = ar.word_frequency(tview).cache()
     vocab_size = freq.count()
