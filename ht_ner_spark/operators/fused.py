@@ -26,6 +26,12 @@ collected and broadcast when its top-k fits ``max_broadcast_vocab``
 (reference vocabularies are 10k-30k entries); above that the caller falls
 back to the relational broadcast-join form — the adaptive path is chosen in
 pipeline.stage1_mentions.
+
+Two implementations share this contract (PipelineConfig.fused_impl):
+'vector' (default) is the columnar batch labeler in operators/fused_vec.py
+(per-unique predicate computation + numpy gather + columnar emission);
+'loop' is the per-token reference loop below (_label_row), kept as the
+parity twin — tests/test_fused_vec.py holds them row-multiset identical.
 """
 
 from __future__ import annotations
@@ -208,13 +214,20 @@ def fused_stage1(corpus: DataFrame, gazetteer: dict[str, float],
                  freq_cutoffs: list[tuple[str, int]] | None = None,
                  text_col: str = "content",
                  pattern: str = TOKEN_PATTERN,
-                 trie_backend: str = "pure") -> DataFrame:
+                 trie_backend: str = "pure",
+                 impl: str = "vector") -> DataFrame:
     """corpus -> S1_COMBINED (mention + vote rows) in one Arrow pass.
 
     ``trie_backend``: 'pure' (default) walks the dict trie inline;
     'ahocorasick' (import-gated, see gazetteer.TrieMatcher) precomputes the
     gazetteer matches per row with the C automaton — identical output row
-    set, higher tokens/s/core where the extension exists."""
+    set, higher tokens/s/core where the extension exists.
+
+    ``impl``: 'vector' (default) runs the columnar batch labeler
+    (operators/fused_vec.py — per-unique predicate computation + numpy
+    gather + columnar emission, ~2-3x the loop path's tokens/s/core);
+    'loop' runs the per-token reference loop (_label_row). Row-set
+    identical by tests/test_fused.py and tests/test_fused_vec.py."""
     spark = corpus.sparkSession
     trie_b = spark.sparkContext.broadcast(
         build_trie(gazetteer) if trie_backend == "pure" else None)
@@ -223,6 +236,24 @@ def fused_stage1(corpus: DataFrame, gazetteer: dict[str, float],
     ranks_b = spark.sparkContext.broadcast(common_ranks or {})
     cutoffs = freq_cutoffs or []
     tok_re = re.compile(pattern)
+
+    if impl == "vector":
+        from . import fused_vec
+
+        def run_vec(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+            from .gazetteer import TrieMatcher
+
+            trie = trie_b.value
+            factory = (
+                (lambda: TrieMatcher(weights_b.value, backend=trie_backend))
+                if trie is None else None)
+            yield from fused_vec.run_batches(
+                batches, text_col, tok_re, trie, factory,
+                ranks_b.value, cutoffs)
+
+        return corpus.select("row_id", text_col).mapInPandas(
+            run_vec, S1_COMBINED)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .gazetteer import TrieMatcher

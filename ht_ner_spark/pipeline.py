@@ -41,6 +41,10 @@ class PipelineConfig:
     run_id: str = "run0"
     gazetteer: dict[str, float] = field(default_factory=lambda: dict(DEFAULT_GAZETTEER))
     fused: bool = True             # ONE mapInPandas corpus pass for all LFs
+    # fused-pass labeler implementation: 'vector' = columnar batch labeler
+    # (operators/fused_vec.py, the throughput default), 'loop' = per-token
+    # reference loop (the parity twin). Row-set identical by test.
+    fused_impl: str = "vector"
     use_trie: bool = True          # composed path: trie vs relational join
     vote_threshold: float = 0.0
     lsh_bands: int = 8
@@ -172,6 +176,7 @@ def stage1_combined(corpus: DataFrame, cfg: PipelineConfig,
     combined = fused_stage1(
         corpus, cfg.gazetteer,
         common_ranks=ranks, freq_cutoffs=cutoffs if ranks else [],
+        impl=cfg.fused_impl,
     )
     extra = None
     if cfg.frequency_antirules and ranks is None:

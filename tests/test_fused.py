@@ -32,6 +32,27 @@ def test_fused_equals_composed(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_fused_vector_equals_loop_impl(spark, tmp_path):
+    """The columnar labeler (fused_impl='vector', the default) and the
+    per-token loop twin must agree through the full Spark path."""
+    c = synthetic_corpus(spark, N_ROWS).cache()
+    vec_cfg = PipelineConfig(warehouse=str(tmp_path), fused=True,
+                             fused_impl="vector")
+    loop_cfg = PipelineConfig(warehouse=str(tmp_path), fused=True,
+                              fused_impl="loop")
+
+    vm, vv = stage1_mentions(c, vec_cfg)
+    lm, lv = stage1_mentions(c, loop_cfg)
+
+    mcols = ["row_id", "lf_name", "begin", "end", "surface", "label",
+             "base_conf", "confidence", "begin_char", "end_char"]
+    assert _rowset(vm, mcols) == _rowset(lm, mcols)
+    vcols = ["row_id", "pos", "lf_name", "label", "weight", "tok"]
+    got, want = _rowset(vv, vcols), _rowset(lv, vcols)
+    assert got == want
+    assert len(got) > 0
+
+
 def test_fused_no_frequency(spark, tmp_path):
     c = synthetic_corpus(spark, 40)
     cfg = PipelineConfig(warehouse=str(tmp_path), fused=True,

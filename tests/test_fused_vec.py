@@ -1,0 +1,168 @@
+"""Columnar fused labeler (operators/fused_vec.py) must be row-MULTISET
+identical to the per-token reference loop (fused._label_row) — the
+vectorization is a physical optimization, never a semantic change.
+
+Function-level (no Spark) on adversarial corpora: unicode case edges,
+empty/None texts, multi-word gazetteer phrases, $-number tokens,
+punctuation-glued \\S+ tokens, trigger bigrams at row boundaries, and the
+frequency-antirule original-case rank quirk.  The Spark-level knob
+(PipelineConfig.fused_impl) is covered in tests/test_fused.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+
+from ht_ner_spark.corpus import DEFAULT_GAZETTEER, synthetic_rows
+from ht_ner_spark.functions.text import TOKEN_PATTERN
+from ht_ner_spark.operators import fused_vec
+from ht_ner_spark.operators.fused import _COLS, _TYPES, _label_row
+from ht_ner_spark.operators.gazetteer import build_trie
+
+TOK_RE = re.compile(TOKEN_PATTERN)
+
+
+def loop_frame(rows, trie, ranks, cutoffs):
+    out = []
+    for rid, text in rows:
+        ms = list(TOK_RE.finditer(text or ""))
+        toks = [m.group(0) for m in ms]
+        low = [t.lower() for t in toks]
+        _label_row(rid, toks, low, [m.start() for m in ms],
+                   [m.end() for m in ms], trie, cutoffs, ranks, out)
+    return pd.DataFrame(out, columns=_COLS).astype(_TYPES)
+
+
+def vec_frame(rows, trie, ranks, cutoffs):
+    return fused_vec.label_batch([r[0] for r in rows],
+                                 [r[1] for r in rows],
+                                 TOK_RE, trie, ranks, cutoffs)
+
+
+def multiset(df):
+    return sorted(map(tuple, df[_COLS].itertuples(index=False)))
+
+
+def assert_parity(rows, gaz=None, ranks=None, cutoffs=None):
+    trie = build_trie(gaz if gaz is not None else dict(DEFAULT_GAZETTEER))
+    lk = multiset(loop_frame(rows, trie, ranks or {}, cutoffs or []))
+    vk = multiset(vec_frame(rows, trie, ranks or {}, cutoffs or []))
+    assert lk == vk
+
+
+def test_synthetic_corpus_parity():
+    rows = [(r[0], r[5]) for r in synthetic_rows(800)]
+    assert_parity(rows)
+
+
+def test_synthetic_corpus_parity_with_frequency():
+    rows = [(r[0], r[5]) for r in synthetic_rows(500)]
+    ranks = {"the": 1, "ok": 2, "about": 3, "Alice": 4, "call": 5}
+    cutoffs = [("freq_0.1", 2), ("freq_0.3", 5)]
+    assert_parity(rows, ranks=ranks, cutoffs=cutoffs)
+
+
+def test_empty_none_and_whitespace_rows():
+    rows = [(0, ""), (1, None), (2, "   \t\n  "), (3, "Alice"),
+            (4, "     "), (5, "ok")]
+    assert_parity(rows)
+
+
+def test_unicode_case_and_whitespace():
+    rows = [
+        (0, "İstanbul ĲSBRAND ß ẞEТA   Ångström"),
+        (1, "ΣΙΓΜΑ σίγμα Δὲν ΞΕΡΩ"),
+        (2, "naïve CAFÉ résumé"),
+        (3, "tab\tsep thin　ideographic"),
+    ]
+    assert_parity(rows)
+
+
+def test_dollar_numbers_and_punctuation_glue():
+    rows = [
+        (0, "pay $3.50 not $.. nor $x then a$3.5 and x,$9.9"),
+        (1, "foo,BAR baz..QUX (PAREN) {BRACE} end$"),
+        (2, "$5 $5.5.5 $ alone"),
+    ]
+    assert_parity(rows)
+
+
+def test_multiword_gazetteer_walks():
+    gaz = {"jane smith": 0.9, "jane": 0.6, "jane smith jones": 0.8,
+           "de la cruz": 0.7, "smith": 0.5}
+    rows = [
+        (0, "met Jane Smith Jones and DE LA CRUZ today"),
+        (1, "jane smith spoke; Jane alone; smith jane reversed"),
+        (2, "Jane Smith"),          # phrase ends exactly at row end
+        (3, "prefix Jane"),         # partial phrase at row end
+    ]
+    assert_parity(rows, gaz=gaz)
+
+
+def test_trigger_bigrams_and_row_boundaries():
+    # bigram trigger split across rows must NOT fire (the loop path is
+    # per-row; the vec path joins rows — boundary handling must match)
+    rows = [
+        (0, "according to"),
+        (1, "Reuters said ok"),
+        (2, "according to Reuters said hm"),
+        (3, "Mr"),
+        (4, "Smith arrived"),
+        (5, "Mr Smith arrived"),
+    ]
+    assert_parity(rows)
+
+
+def test_rank_lookup_is_original_case():
+    # the loop path looks ranks up by ORIGINAL token text (quirk);
+    # lower-cased keys must not match capitalized occurrences
+    rows = [(0, "The the THE tHe"), (1, "the said The")]
+    ranks = {"the": 1, "The": 2}
+    cutoffs = [("freq_0.1", 1), ("freq_0.3", 2)]
+    assert_parity(rows, ranks=ranks, cutoffs=cutoffs)
+
+
+def test_j2_reprojection_exact_case():
+    # a rule-extracted surface votes at every EXACT-case occurrence only
+    rows = [(0, "mr Smith saw Smith and SMITH and smith Smith")]
+    assert_parity(rows)
+
+
+def test_non_tiling_pattern_falls_back():
+    # a pattern without a \S+ fallback skips chars -> the arithmetic-span
+    # fast path must detect the gap and fall back to per-match spans
+    pat = re.compile(r"[A-Za-z]+")
+    rows = [(7, "ab,cd EF--gh")]
+    out = []
+    for rid, text in rows:
+        ms = list(pat.finditer(text))
+        toks = [m.group(0) for m in ms]
+        low = [t.lower() for t in toks]
+        _label_row(rid, toks, low, [m.start() for m in ms],
+                   [m.end() for m in ms], build_trie({"ab": 0.9}), [], {},
+                   out)
+    ldf = pd.DataFrame(out, columns=_COLS).astype(_TYPES)
+    vdf = fused_vec.label_batch([7], [rows[0][1]], pat,
+                                build_trie({"ab": 0.9}), {}, [])
+    assert multiset(ldf) == multiset(vdf)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_randomized_fuzz(seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["Alice", "BOB", "the", "Mr", "mr", "according", "to", "$3.5",
+             "x,y", "İ", "ß", "CAFÉ", "ok", "Jane", "Smith", "a", "AB",
+             "ALLCAPSWORD", "Capitalized", "notcap", "X" * 20, "..", "()"]
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    gaz = {"jane smith": 0.9, "alice": 0.8, "bob": 0.4}
+    ranks = {"the": 1, "ok": 2, "Alice": 3}
+    cutoffs = [("freq_0.1", 1), ("freq_0.3", 3)]
+    assert_parity(rows, gaz=gaz, ranks=ranks, cutoffs=cutoffs)
