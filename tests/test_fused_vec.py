@@ -166,3 +166,64 @@ def test_randomized_fuzz(seed):
     ranks = {"the": 1, "ok": 2, "Alice": 3}
     cutoffs = [("freq_0.1", 1), ("freq_0.3", 3)]
     assert_parity(rows, gaz=gaz, ranks=ranks, cutoffs=cutoffs)
+
+
+def test_word_frequency_agg_arrow_parity(spark):
+    """The Arrow partial-count frequency aggregate must be row-set
+    identical to the exploded-view JVM aggregate — including the
+    first_seen struct (VALUE-min of (row_id, pos), not scan order) and
+    the stopword/punct filter."""
+    from ht_ner_spark.corpus import synthetic_corpus
+    from ht_ner_spark.operators import antirules as ar
+    from ht_ner_spark.operators.tokens import token_view, with_tokens
+
+    c = synthetic_corpus(spark, 300).cache()
+    rel = ar.word_frequency_agg(token_view(with_tokens(c)))
+    arrow = ar.word_frequency_agg_arrow(c)
+    rk = {(r["tok"], r["cnt"], r["first_seen"]["r"], r["first_seen"]["p"])
+          for r in rel.collect()}
+    ak = {(r["tok"], r["cnt"], r["first_seen"]["r"], r["first_seen"]["p"])
+          for r in arrow.collect()}
+    assert rk == ak and len(rk) > 0
+    c.unpersist()
+
+
+def test_word_frequency_agg_arrow_value_min(spark):
+    """first_seen must be the value-min even when row_ids arrive out of
+    order inside a batch (descending ids here): token 'zzq' first occurs
+    by VALUE in row 1 pos 2, though row 9 is scanned first."""
+    from ht_ner_spark.operators import antirules as ar
+    from ht_ner_spark.operators.tokens import token_view, with_tokens
+    from ht_ner_spark.schemas import CORPUS
+
+    rows = [
+        (9, "r", "p", "c", "py", "zzq zzq here", "h9"),
+        (5, "r", "p", "c", "py", "nothing zzq", "h5"),
+        (1, "r", "p", "c", "py", "alpha beta zzq tail", "h1"),
+    ]
+    df = spark.createDataFrame(rows, CORPUS).coalesce(1)
+    arrow = {(r["tok"], r["cnt"], r["first_seen"]["r"], r["first_seen"]["p"])
+             for r in ar.word_frequency_agg_arrow(df).collect()}
+    rel = {(r["tok"], r["cnt"], r["first_seen"]["r"], r["first_seen"]["p"])
+           for r in ar.word_frequency_agg(
+               token_view(with_tokens(df))).collect()}
+    assert arrow == rel
+    zzq = {t for t in arrow if t[0] == "zzq"}
+    assert zzq == {("zzq", 4, 1, 2)}
+
+
+def test_pipeline_freq_impl_parity(spark, tmp_path):
+    """End-to-end: pipeline triples identical under freq_impl
+    'vector' vs 'relational'."""
+    from ht_ner_spark.corpus import synthetic_corpus
+    from ht_ner_spark.pipeline import PipelineConfig, run
+
+    c = synthetic_corpus(spark, 200).cache()
+    a = run(spark, c, PipelineConfig(warehouse=str(tmp_path / "a"),
+                                     freq_impl="vector"))
+    b = run(spark, c, PipelineConfig(warehouse=str(tmp_path / "b"),
+                                     freq_impl="relational"))
+    ka = {(r["subj"], r["pred"], r["obj"]) for r in a.collect()}
+    kb = {(r["subj"], r["pred"], r["obj"]) for r in b.collect()}
+    assert ka == kb and len(ka) > 0
+    c.unpersist()
