@@ -240,19 +240,22 @@ def fused_stage1(corpus: DataFrame, gazetteer: dict[str, float],
     if impl == "vector":
         from . import fused_vec
 
-        def run_vec(batches: Iterator[pd.DataFrame]
-                    ) -> Iterator[pd.DataFrame]:
+        def run_vec(batches) -> Iterator:
             from .gazetteer import TrieMatcher
 
             trie = trie_b.value
             factory = (
                 (lambda: TrieMatcher(weights_b.value, backend=trie_backend))
                 if trie is None else None)
-            yield from fused_vec.run_batches(
-                batches, text_col, tok_re, trie, factory,
-                ranks_b.value, cutoffs)
+            # mapInArrow: emission goes straight from the labeler's typed
+            # numpy arrays to RecordBatches — no pandas block manager on
+            # either the output (from_pandas introspection measured ~0.4 s
+            # per 220k-row batch) and one RecordBatch per LF family (no
+            # concat). Input column 1 is the text column (selected below).
+            yield from fused_vec.run_arrow_batches(
+                batches, 1, tok_re, trie, factory, ranks_b.value, cutoffs)
 
-        return corpus.select("row_id", text_col).mapInPandas(
+        return corpus.select("row_id", text_col).mapInArrow(
             run_vec, S1_COMBINED)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
