@@ -961,7 +961,7 @@ def ann_tradeoff(spark, sf_dir: str, n_queries: int = 50, k: int = 10) -> dict |
     try:
         from pyspark.sql import functions as F
 
-        from ht_ner_spark.contract import IVF_CELLS, IVF_NPROBE
+        from ht_ner_spark.contract import IVF_CELLS, IVF_NPROBE, IVF_NPROBE_PROD
         from ht_ner_spark.operators import similarity as sim
 
         vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
@@ -987,11 +987,19 @@ def ann_tradeoff(spark, sf_dir: str, n_queries: int = 50, k: int = 10) -> dict |
                          "recall_at_k": round(len(exact & pairs) / len(exact), 3),
                          **(extra or {})}
 
+        import inspect
+
+        lsh_defaults = {
+            p: inspect.signature(sim.bucketed_ann_topk).parameters[p].default
+            for p in ("tables", "bits", "radius")}
         add("lsh_bucketed", sim.bucketed_ann_topk(vecs, queries, k=k),
+            {**lsh_defaults, "default": True})
+        # round-4 default config, retired in round 5 (recall 0.658), kept
+        # for the cross-round trade-off table
+        add("lsh_bucketed_r4_anchor",
+            sim.bucketed_ann_topk(vecs, queries, k=k, bits=8, tables=8,
+                                  radius=1),
             {"tables": 8, "bits": 8, "radius": 1})
-        add("lsh_bucketed_r2",
-            sim.bucketed_ann_topk(vecs, queries, k=k, radius=2),
-            {"tables": 8, "bits": 8, "radius": 2})
         # round-3 anchor config, kept for the cross-round trade-off table
         anchor_c = sim.seed_centroids(vecs, n_cells=16)
         add("ivf_seed_r3_anchor",
@@ -999,13 +1007,30 @@ def ann_tradeoff(spark, sf_dir: str, n_queries: int = 50, k: int = 10) -> dict |
             {"cells": 16, "nprobe": 4})
         seed_c = sim.seed_centroids(vecs, n_cells=IVF_CELLS)
         add("ivf_seed", sim.ivf_topk(vecs, queries, seed_c, k=k, nprobe=IVF_NPROBE),
-            {"cells": IVF_CELLS, "nprobe": IVF_NPROBE, "default": True})
+            {"cells": IVF_CELLS, "nprobe": IVF_NPROBE, "contract_default": True,
+             # queries (vec_id < n_queries) overlap the lowest-id medoids,
+             # so this row's recall is inflated by self-centered probing —
+             # compare ivf_medoid_disjoint (honest medoids) and ivf_kmeans
+             "queries_are_centroids": True})
+        # honest medoid baseline: centroids drawn DISJOINT from the query set
+        disj_rows = (vecs.where(F.col("vec_id") >= n_queries + 50)
+                     .select(F.col("vec_id").alias("id"),
+                             F.col("embedding").cast("array<double>").alias("v"))
+                     .orderBy("id").limit(IVF_CELLS).collect())
+        disj_c = [(i, list(r["v"])) for i, r in enumerate(disj_rows)]
+        add("ivf_medoid_disjoint",
+            sim.ivf_topk(vecs, queries, disj_c, k=k, nprobe=IVF_NPROBE),
+            {"cells": IVF_CELLS, "nprobe": IVF_NPROBE})
         t0 = time.monotonic()
         km_c = sim.kmeans_centroids(vecs, n_cells=IVF_CELLS)
         train_sec = time.monotonic() - t0
         add("ivf_kmeans", sim.ivf_topk(vecs, queries, km_c, k=k, nprobe=IVF_NPROBE),
             {"cells": IVF_CELLS, "nprobe": IVF_NPROBE,
              "train_sec": round(train_sec, 3)})
+        add("ivf_kmeans_prod",
+            sim.ivf_topk(vecs, queries, km_c, k=k, nprobe=IVF_NPROBE_PROD),
+            {"cells": IVF_CELLS, "nprobe": IVF_NPROBE_PROD,
+             "production_default": True})
         vecs.unpersist()
         return out
     except Exception as exc:  # noqa: BLE001 - a trade-off probe must never sink the bench

@@ -2341,17 +2341,24 @@ def q_ann_bucketed(spark, sf_dir):
     queries_df = vecs.where(F.col("vec_id") < ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.bucketed_ann_topk(vecs, queries_df, k=ANN_K).select(
+    return sim.bucketed_ann_topk(vecs, queries_df, k=ANN_K,
+                                 bits=ANN_BITS, tables=ANN_TABLES).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         F.col("rank").cast("long").alias("rank"),
     )
 
 
-# bucketed_ann_topk defaults: 8 tables x 8 sign bits over disjoint
-# coordinate slices of the 64-dim embedding, radius-1 multiprobe per table
-ANN_BITS = 8
-ANN_TABLES = 8
+# bucketed_ann_topk defaults (round 5, = the function's own defaults —
+# passed explicitly above so the SQL below can never drift from the Spark
+# side): 10 tables x 6 sign bits over disjoint coordinate slices of the
+# 64-dim embedding, radius-1 multiprobe per table. Re-picked from the
+# committed ANN_SWEEP_r04.json sweep per the round-4 verdict: recall 0.958
+# @ 0.686 candidate fraction at sf0.1, vs the retired round-4 default
+# (8x8, radius 1) at 0.658 @ 0.250 — the old point missed a third of the
+# true top-10 on the adversarially-unclustered testdata.
+ANN_BITS = 6
+ANN_TABLES = 10
 
 SQL_ANN_BUCKETED = f"""
 WITH v AS (
@@ -2465,17 +2472,30 @@ FROM pairs WHERE sim >= {NEARDUP_MIN_COSINE}
 # other code change. All ranking ties break (sim DESC, id ASC) — the same
 # cross-engine-stable double fold as embedding_topk/ann_bucketed.
 
-# Defaults re-picked by the committed sweep (ANN_SWEEP_r04.json, sf0.1,
-# recall@10 over 50 queries vs exact cosine): (64 cells, nprobe 12) ->
-# recall 0.962 at candidate fraction 0.184 — ABOVE the 0.8 target at BELOW
-# the round-3 default's cost (16/4: recall 0.65 @ 0.25). IVF dominates the
-# sign-bucket LSH path on this adversarially-unclustered testdata (LSH needs
-# ~0.6 candidate fraction for 0.9 recall), so IVF is the engine's default
-# ANN path and `ann_recall` (query 100) gates it; the LSH path stays gated
-# by `ann_recall_lsh`. At 10^9+ vectors scale cells ~ n/1000 via
-# kmeans_centroids and keep nprobe/cells ~ 0.2.
+# (64 cells, nprobe 12) is the round-4 sweep point (ANN_SWEEP_r04.json,
+# sf0.1, recall@10 over 50 queries vs exact cosine). CAVEAT re-diagnosed in
+# round 5: the sweep's seed-centroid recall of 0.962 at this point is
+# INFLATED by queries-are-centroids leakage — the query set (vec_id <
+# ANN_QUERIES) is a subset of the 64 lowest-id medoids, so every query
+# probes cells centered on itself. Honest recall at the same settings
+# (query-DISJOINT medoids) is 0.452, and the production kmeans quantizer's
+# honest 0.614 beats it at matched candidate fraction (~0.19); see
+# similarity.seed_centroids / kmeans_centroids docstrings and
+# BENCH ann_tradeoff's ivf_medoid_disjoint row. The oracle query keeps the
+# leaky-but-deterministic configuration ON PURPOSE — the driver gate checks
+# cross-engine determinism of the IVF plan, not retrieval quality; quality
+# is gated honestly in tests/test_ivf.py (kmeans >= 0.8 at matched
+# coverage, kmeans > disjoint-medoid) and measured in bench ann_tradeoff.
+# IVF still dominates the sign-bucket LSH path on this
+# adversarially-unclustered testdata at equal recall, so IVF remains the
+# engine's default ANN path. At 10^9+ vectors scale cells ~ n/1000 via
+# kmeans_centroids; for >= 0.8 recall on unclustered corpora probe
+# IVF_NPROBE_PROD/IVF_CELLS (~0.44) — clustered corpora need far less.
 IVF_CELLS = 64
 IVF_NPROBE = 12
+# production nprobe recommendation: honest recall 0.840 (kmeans) / 0.832
+# (disjoint medoids) at 28/64 cells on the unclustered sf0.1 testdata
+IVF_NPROBE_PROD = 28
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -4654,10 +4674,13 @@ FROM ranked GROUP BY event_type
 # 100/101. ANN recall@k vs the brute-force ground truth — the recall
 # measurement ITSELF is oracle-paired (both legs already are), so the
 # engine's ANN quality claim is driver-checkable, not prose. `ann_recall`
-# gates the engine's DEFAULT ANN path (IVF 64/12 — re-picked from the
-# committed ANN_SWEEP_r04.json sweep: recall 0.962 @ 0.184 candidate
-# fraction at sf0.1); `ann_recall_lsh` keeps the sign-bucket LSH
-# alternative gated too.
+# gates the IVF contract path (64/12 seed medoids; its recall figure
+# carries the queries-are-centroids inflation documented at IVF_CELLS —
+# what the driver checks here is that both engines measure the SAME
+# recall, i.e. plan determinism; honest quality gates live in
+# tests/test_ivf.py and bench ann_tradeoff). `ann_recall_lsh` gates the
+# sign-bucket LSH path at its round-5 defaults (10x6, radius 1 -> recall
+# ~0.958 at sf0.1, no medoids involved so no such caveat).
 
 def _recall_of(spark, truth, cand):
     hits = (

@@ -106,10 +106,41 @@ def lsh_recall(emb, qidx, exact, k, tables, bits, radius) -> dict:
             "sweep_sec": round(time.monotonic() - t0, 2)}
 
 
-def ivf_recall(emb, qidx, exact, k, cells, nprobe) -> dict:
+def kmeans_numpy(emb: np.ndarray, cells: int, seed: int = 42,
+                 max_iter: int = 20) -> np.ndarray:
+    """Deterministic Lloyd's (random-subset init) — the sweep's stand-in
+    for pyspark.ml KMeans; same objective, so recall tracks the engine's
+    kmeans_centroids path closely (0.638 numpy vs 0.614 Spark at 64/12 —
+    init differs, k-means|| in MLlib vs random subset here)."""
+    rng = np.random.RandomState(seed)
+    cents = emb[rng.choice(emb.shape[0], cells, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((emb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(cells):
+            m = emb[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    return cents
+
+
+def ivf_recall(emb, qidx, exact, k, cells, nprobe,
+               quantizer: str = "seed") -> dict:
+    """quantizer: 'seed' = the lowest-id medoids (the contract twin — NOTE
+    these OVERLAP qidx, so recall is inflated by self-centered probing);
+    'medoid_disjoint' = medoids drawn past the query ids (honest medoid
+    baseline); 'kmeans' = Lloyd's (the production path's stand-in)."""
     n = emb.shape[0]
     normed = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-    cents = emb[:cells]  # seed_centroids: lowest-id vectors, id order
+    if quantizer == "seed":
+        cents = emb[:cells]  # seed_centroids: lowest-id vectors, id order
+    elif quantizer == "medoid_disjoint":
+        lo = int(qidx.max()) + 1 + 50
+        cents = emb[lo:lo + cells]
+    elif quantizer == "kmeans":
+        cents = kmeans_numpy(emb, cells)
+    else:
+        raise ValueError(quantizer)
     cnormed = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     sims = normed @ cnormed.T          # (n, cells) cosine
     assign = np.argmax(sims, axis=1)   # first max = lowest cell id (ties)
@@ -124,7 +155,7 @@ def ivf_recall(emb, qidx, exact, k, cells, nprobe) -> dict:
         s = normed[cand] @ normed[qi]
         top = cand[np.lexsort((cand, -s))[:k]]
         recalls.append(len(set(top.tolist()) & ex) / len(ex))
-    return {"cells": cells, "nprobe": nprobe,
+    return {"cells": cells, "nprobe": nprobe, "quantizer": quantizer,
             "recall_at_k": round(float(np.mean(recalls)), 3),
             "cand_frac": round(float(np.mean(fracs)), 4),
             "sweep_sec": round(time.monotonic() - t0, 2)}
@@ -152,6 +183,16 @@ def main() -> None:
                           (16, 6), (16, 8),
                           (32, 8), (32, 12), (64, 12), (64, 16)]:
         out["ivf"].append(ivf_recall(emb, qidx, exact, k, cells, nprobe))
+    # honest quantizer comparison (round-5 diagnosis): the 'seed' rows
+    # above carry queries-are-centroids inflation (qidx subset of the
+    # lowest-id medoids); these rows evaluate quantizers a deployment
+    # could actually ship, on the same query set
+    out["ivf_honest"] = []
+    for cells, nprobe in [(64, 12), (64, 16), (64, 20), (64, 24),
+                          (64, 28), (64, 32)]:
+        for quant in ("medoid_disjoint", "kmeans"):
+            out["ivf_honest"].append(
+                ivf_recall(emb, qidx, exact, k, cells, nprobe, quant))
     print(json.dumps(out, indent=1))
 
 

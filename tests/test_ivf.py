@@ -69,18 +69,64 @@ def test_seed_centroids_deterministic(vecs):
     assert all(len(v) == 64 for _, v in a)
 
 
-def test_kmeans_quantizer_plugs_in(vecs, queries):
+def _recall(exact, got_df):
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got_df.collect()}
+    return len(exact & approx) / len(exact)
+
+
+def _disjoint_medoids(vecs, n_cells, min_id):
+    """seed_centroids' shape, but drawn from ids >= min_id so the quantizer
+    never contains a query vector — the honest medoid baseline (the lowest-id
+    medoids overlap the test queries and inflate recall by self-centered
+    probing; see seed_centroids docstring)."""
+    rows = (vecs.where(F.col("vec_id") >= min_id)
+            .select(F.col("vec_id").alias("id"),
+                    F.col("embedding").cast("array<double>").alias("v"))
+            .orderBy("id").limit(n_cells).collect())
+    return [(i, list(r["v"])) for i, r in enumerate(rows)]
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(vecs, queries):
+    return {(r["query_id"], r["neighbor_id"])
+            for r in sim.brute_force_topk(vecs, queries, k=K).collect()}
+
+
+def test_kmeans_quantizer_plugs_in(vecs, queries, exact_pairs):
     cents = sim.kmeans_centroids(vecs, n_cells=8, seed=42, max_iter=5)
     assert len(cents) == 8
-    exact = {(r["query_id"], r["neighbor_id"])
-             for r in sim.brute_force_topk(vecs, queries, k=K).collect()}
-    got = sim.ivf_topk(vecs, queries, cents, k=K, nprobe=3)
-    approx = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
-    recall = len(exact & approx) / len(exact)
+    recall = _recall(exact_pairs,
+                     sim.ivf_topk(vecs, queries, cents, k=K, nprobe=3))
     # synthetic embeddings are adversarially unclustered (mean top-5 cosine
     # ~0.32 — see bucketed_ann_topk docstring); kmeans cells at nprobe 3/8
     # still must beat random candidate sampling by a wide margin
-    assert recall >= 0.4, f"kmeans-IVF recall {recall:.2f}"
+    # (measured 0.767 at sf0.001; gate raised 0.4 -> 0.6 in round 5)
+    assert recall >= 0.6, f"kmeans-IVF recall {recall:.2f}"
+
+
+def test_kmeans_recall_gate_production(vecs, queries, exact_pairs):
+    """The round-4 verdict's >= 0.8 recall gate on the PRODUCTION quantizer,
+    at the sf0.001-equivalent of the production coverage ratio (nprobe 4/8
+    = 0.5 here vs IVF_NPROBE_PROD 28/64 = 0.44 at sf0.1, where kmeans
+    measures 0.840). Measured 0.90 at these settings."""
+    cents = sim.kmeans_centroids(vecs, n_cells=8, seed=42, max_iter=20)
+    recall = _recall(exact_pairs,
+                     sim.ivf_topk(vecs, queries, cents, k=K, nprobe=4))
+    assert recall >= 0.8, f"kmeans-IVF recall {recall:.2f} at nprobe 4/8"
+
+
+def test_kmeans_beats_honest_medoids(vecs, queries, exact_pairs):
+    """Quantizer quality, evaluated WITHOUT the queries-are-centroids
+    artifact: at identical (cells, nprobe) the production kmeans quantizer
+    must recall at least as much as medoids drawn disjoint from the query
+    set (measured 0.767 vs 0.533 at sf0.001; 0.614 vs 0.452 at sf0.1 —
+    the round-4 'kmeans loses to the stand-in by 35 points' finding was an
+    artifact of overlapping queries and medoids, not a quantizer defect)."""
+    km = sim.kmeans_centroids(vecs, n_cells=8, seed=42, max_iter=20)
+    dm = _disjoint_medoids(vecs, n_cells=8, min_id=QUERIES + 50)
+    r_km = _recall(exact_pairs, sim.ivf_topk(vecs, queries, km, k=K, nprobe=3))
+    r_dm = _recall(exact_pairs, sim.ivf_topk(vecs, queries, dm, k=K, nprobe=3))
+    assert r_km >= r_dm, f"kmeans {r_km:.2f} < disjoint-medoid {r_dm:.2f}"
 
 
 def test_norm_outliers_planted(spark):
