@@ -42,7 +42,17 @@ ceiling; campaigns 8-10 pinned the box's saturation curve at
 7.6/13.9/25.7/40-44k triples/s for 1/2/4/8 cores). The gate reports BOTH
 values whenever both ran and is met if either live N->4N pair reaches
 0.8 — on a real cluster each added executor brings its own memory
-subsystem, which is the regime the 1->4 pair models.
+subsystem, which is the regime the 1->4 pair models. Explicit
+`met_1to4`/`met_2to8` booleans report each criterion pair separately
+(round-4 advisor: `met` alone is an OR and not comparable to pre-r4
+artifacts), and committed campaigns are tagged with their core pair.
+
+Round-5 budget order (VERDICT r4 next-#3/#5): scaling_n4 runs FIRST with
+2-3 pre-declared pairs (the primary gate citation must never rest on an
+n=1 pair), then scaling_large at 2 pairs, then the cheap scaleout_calib +
+variants sections (budget-skipped in r3/r4, now ahead of the 600k series),
+then the 600k cross-round headline series — budget truncation now lands on
+the least-load-bearing section last.
 """
 
 from __future__ import annotations
@@ -865,14 +875,19 @@ def variant_runs() -> dict:
     """One spark-submit run per engine variant at a fixed modest size, same
     cores — publishes the cost of the alternates the engine ships (VERDICT r2
     #5): 'hmm' = distributed Baum-Welch vote aggregation, 'bucketed' =
-    row_id-bucketed no-Exchange stage-4 join. 'default' at the same size
+    row_id-bucketed no-Exchange stage-4 join, 'loop_labeler' = the per-token
+    stage-1 reference loop (the round-4 columnar rewrite's win is
+    default vs this), 'relational_freq' = the exploded JVM frequency agg
+    (vs the default Arrow partial-count). 'default' at the same size
     anchors the comparison."""
     rows = int(os.environ.get("SPARK_GRAFT_VARIANT_ROWS", "150000"))
     cores = SCALING_CORES[-1]
     out: dict = {"rows": rows, "cores": cores}
     for name, extra in (("default", ()),
                         ("hmm", ("--aggregator", "hmm")),
-                        ("bucketed", ("--bucket-buckets", "8"))):
+                        ("bucketed", ("--bucket-buckets", "8")),
+                        ("loop_labeler", ("--fused-impl", "loop")),
+                        ("relational_freq", ("--freq-impl", "relational"))):
         r = _one_scaling_run(cores, extra_args=extra, rows=rows)
         if r:
             out[name] = {"sec": r["sec"], "triples_per_sec": r["triples_per_sec"],
@@ -1184,16 +1199,64 @@ def main() -> None:
         _emit(out, t_start)
         return
 
-    # campaign order: the floor-amortized 2M series FIRST — it is the
-    # scaling_gate's primary evidence (VERDICT r3 next-#2) — then the pinned
-    # cross-round 600k headline series, then the cheap calibrations.
+    # campaign order (round 5, VERDICT r4 next-#3/#5): the 1->4-core 2M
+    # series FIRST — it is the scaling_gate's primary citation and must
+    # carry >=2 live pairs — then the 2->8 2M protocol series (trimmed to
+    # 2 pairs), then the cheap scaleout_calib/variants sections (budget-
+    # skipped in r3+r4 when they ran last), then the 600k cross-round
+    # headline series. Budget truncation lands on the tail.
     pyfiles_made = False
+
+    def _ensure_pyfiles() -> None:
+        nonlocal pyfiles_made
+        if not pyfiles_made:
+            subprocess.run(["bash", os.path.join(REPO, "scripts",
+                                                 "make_pyfiles.sh")],
+                           check=True, capture_output=True)
+            pyfiles_made = True
+
+    # 1->4-core series at 2M rows: the N->4N criterion measured BELOW the
+    # single box's DRAM ceiling. Campaigns 8-10 pinned the box's saturation
+    # curve (1/2/4/8 cores = 7.6/13.9/25.7/40-44k triples/s — near-linear
+    # to 4 cores, bandwidth-bound beyond), so the 2->8 series measures the
+    # box in windows where co-tenants hold DRAM headroom and the 1->4
+    # series measures the ENGINE's N->4N scaling on any clean window. Both
+    # are always reported; the gate cites each.
+    if (not os.environ.get("SPARK_GRAFT_NO_LARGE")
+            and not os.environ.get("SPARK_GRAFT_NO_N4")
+            and room_for(1.15 * (EST_RUN_SEC_N4[1] + EST_RUN_SEC_N4[4]) + 40)):
+        _ensure_pyfiles()
+
+        def _partial_n4(s: dict) -> None:
+            out["scaling_n4"] = s
+            out["scaling_gate"] = _scaling_gate(
+                out.get("scaling"), out.get("scaling_large"), s)
+            _emit(out, t_start)
+
+        out["scaling_n4"] = scaling_run(
+            # 2 pre-declared pairs + 1 contingency (VERDICT r4 next-#3:
+            # the gate citation must never rest on an n=1 pair)
+            rows=SCALING_LARGE_ROWS, pairs=2, clean_target=2, extra_pairs=1,
+            timeout=900.0, make_pyfiles=False, deadline=deadline,
+            est_sec=EST_RUN_SEC_N4, on_pair=_partial_n4, cores=(1, 4))
+        _mark(out, "scaling_n4")
+        out["scaling_gate"] = _scaling_gate(out["scaling"],
+                                            out.get("scaling_large"),
+                                            out["scaling_n4"])
+        _emit(out, t_start)
+    else:
+        # always record the skip, whatever the cause (round-4 advisor: the
+        # old elif dropped the record when SPARK_GRAFT_NO_LARGE was set)
+        out["sections_skipped"].append(
+            {"section": "scaling_n4",
+             "reason": "SPARK_GRAFT_NO_LARGE"
+             if os.environ.get("SPARK_GRAFT_NO_LARGE")
+             else "SPARK_GRAFT_NO_N4"
+             if os.environ.get("SPARK_GRAFT_NO_N4") else "budget"})
+
     if not os.environ.get("SPARK_GRAFT_NO_LARGE") and room_for(
             1.15 * (EST_RUN_SEC_2M[2] + EST_RUN_SEC_2M[8]) + 60):
-        subprocess.run(["bash", os.path.join(REPO, "scripts",
-                                             "make_pyfiles.sh")],
-                       check=True, capture_output=True)
-        pyfiles_made = True
+        _ensure_pyfiles()
 
         def _partial_large(s: dict) -> None:
             out["scaling_large"] = s
@@ -1220,56 +1283,39 @@ def main() -> None:
              "reason": "SPARK_GRAFT_NO_LARGE"
              if os.environ.get("SPARK_GRAFT_NO_LARGE") else "budget"})
 
-    # 1->4-core confirmation at the same 2M scale: the same N->4N criterion
-    # measured BELOW the single box's DRAM ceiling. Campaigns 8-10 pinned
-    # the box's saturation curve (1/2/4/8 cores = 7.6/13.9/25.7/40-44k
-    # triples/s — near-linear to 4 cores, bandwidth-bound beyond), so the
-    # 2->8 series measures the box in windows where co-tenants hold DRAM
-    # headroom and the 1->4 series measures the ENGINE's N->4N scaling on
-    # any clean window. Both are always reported; the gate cites each.
-    if (not os.environ.get("SPARK_GRAFT_NO_LARGE")
-            and not os.environ.get("SPARK_GRAFT_NO_N4")
-            and room_for(1.15 * (EST_RUN_SEC_N4[1] + EST_RUN_SEC_N4[4]) + 40)):
-        if not pyfiles_made:
-            subprocess.run(["bash", os.path.join(REPO, "scripts",
-                                                 "make_pyfiles.sh")],
-                           check=True, capture_output=True)
-            pyfiles_made = True
-
-        def _partial_n4(s: dict) -> None:
-            out["scaling_n4"] = s
-            out["scaling_gate"] = _scaling_gate(
-                out.get("scaling"), out.get("scaling_large"), s)
-            _emit(out, t_start)
-
-        out["scaling_n4"] = scaling_run(
-            rows=SCALING_LARGE_ROWS, pairs=1, clean_target=1, extra_pairs=1,
-            timeout=900.0, make_pyfiles=False, deadline=deadline,
-            est_sec=EST_RUN_SEC_N4, on_pair=_partial_n4, cores=(1, 4))
-        _mark(out, "scaling_n4")
-        out["scaling_gate"] = _scaling_gate(out["scaling"],
-                                            out["scaling_large"],
-                                            out["scaling_n4"])
+    # model of N->4N executor scale-out: independent forked processes over
+    # the same fixed input (see scaleout_calib docstring). Ahead of the
+    # 600k series since round 5 — it was budget-starved in r3+r4.
+    if room_for(240):
+        out["scaleout_calib"] = scaleout_calib()
+        _mark(out, "scaleout_calib")
         _emit(out, t_start)
-    elif not os.environ.get("SPARK_GRAFT_NO_LARGE"):
+    else:
         out["sections_skipped"].append(
-            {"section": "scaling_n4",
-             "reason": "SPARK_GRAFT_NO_N4"
-             if os.environ.get("SPARK_GRAFT_NO_N4") else "budget"})
+            {"section": "scaleout_calib", "reason": "budget"})
+
+    if room_for(400):  # 5 variants x ~60-70 s spark-submit at 150k rows
+        _ensure_pyfiles()
+        out["variants"] = variant_runs()
+        _mark(out, "variants")
+        _emit(out, t_start)
+    else:
+        out["sections_skipped"].append(
+            {"section": "variants", "reason": "budget"})
 
     if room_for(1.15 * (EST_RUN_SEC_600K[2] + EST_RUN_SEC_600K[8]) + 40):
-        if not pyfiles_made:
-            subprocess.run(["bash", os.path.join(REPO, "scripts",
-                                                 "make_pyfiles.sh")],
-                           check=True, capture_output=True)
-            pyfiles_made = True
+        _ensure_pyfiles()
         def _partial_600k(s: dict) -> None:
             out["scaling"] = s
             out["scaling_gate"] = _scaling_gate(s, out.get("scaling_large"),
                                                out.get("scaling_n4"))
             _emit(out, t_start)
 
-        scaling = scaling_run(make_pyfiles=False, deadline=deadline,
+        # trimmed to 2+1 pairs in round 5 (was 5+2): this series is the
+        # cross-round headline, no longer the gate citation, and the freed
+        # budget funds the thicker scaling_n4 + calib/variants sections
+        scaling = scaling_run(pairs=2, clean_target=2, extra_pairs=1,
+                              make_pyfiles=False, deadline=deadline,
                               timeout=600.0, est_sec=EST_RUN_SEC_600K,
                               on_pair=_partial_600k)
         out["scaling"] = scaling
@@ -1297,24 +1343,6 @@ def main() -> None:
     else:
         out["sections_skipped"].append(
             {"section": "scaling", "reason": "budget"})
-
-    # model of N->4N executor scale-out: independent forked processes over
-    # the same fixed input (see scaleout_calib docstring)
-    if room_for(240):
-        out["scaleout_calib"] = scaleout_calib()
-        _mark(out, "scaleout_calib")
-        _emit(out, t_start)
-    else:
-        out["sections_skipped"].append(
-            {"section": "scaleout_calib", "reason": "budget"})
-
-    if room_for(240) and pyfiles_made:
-        out["variants"] = variant_runs()
-        _mark(out, "variants")
-    else:
-        out["sections_skipped"].append(
-            {"section": "variants",
-             "reason": "budget" if pyfiles_made else "no pyfiles built"})
     _emit(out, t_start)
 
 
@@ -1343,6 +1371,12 @@ def _scaling_gate(scaling: dict | None, scaling_large: dict | None,
                     "budget-skipped) — see committed_campaigns",
         "value": None,
         "met": None,
+        # explicit per-criterion-pair verdicts (round-4 advisor: `met` is
+        # an OR of the 2->8 and 1->4 pairs since r4 and is not comparable
+        # to the same-named pre-r4 field; cross-round consumers should
+        # read these). None = that pair did not run in this artifact.
+        "met_2to8": None,
+        "met_1to4": None,
         # corroboration: every committed dev campaign artifact in the repo
         # (same protocol, run in hunted quiet windows between rounds). The
         # live `value` above stays the gate; these let a reader judge whether
@@ -1351,8 +1385,14 @@ def _scaling_gate(scaling: dict | None, scaling_large: dict | None,
         "committed_campaigns": campaigns,
         # machine-readable committed-evidence verdict: does ANY committed
         # same-protocol campaign meet the criterion? (the live window above
-        # samples one host state; the campaigns sample many)
+        # samples one host state; the campaigns sample many) — plus the
+        # same verdict filtered by core pair, so 1->4 and 2->8 evidence
+        # can't silently mix (round-4 advisor)
         "met_by_committed_campaign": bool(met_committed),
+        "met_by_committed_campaign_2to8": bool(
+            [c for c in met_committed if c.get("pair") == "2to8"]),
+        "met_by_committed_campaign_1to4": bool(
+            [c for c in met_committed if c.get("pair") == "1to4"]),
         "best_committed": (max(campaigns, key=lambda c: c["efficiency"])
                            if campaigns else None),
     }
@@ -1366,6 +1406,8 @@ def _scaling_gate(scaling: dict | None, scaling_large: dict | None,
             f"scaling_n4.efficiency ({scaling_n4['headline_basis']}, "
             f"{scaling_n4['rows']} rows, {scaling_n4['cores_lo']}->"
             f"{scaling_n4['cores_hi']} cores)")
+    if gate.get("value_1to4") is not None:
+        gate["met_1to4"] = bool(gate["value_1to4"] >= 0.8)
     if ev is None:
         if gate.get("value_1to4") is not None:
             gate["value"] = gate["value_1to4"]
@@ -1378,6 +1420,8 @@ def _scaling_gate(scaling: dict | None, scaling_large: dict | None,
         f"{ev['rows']} rows, {ev['cores_lo']}->{ev['cores_hi']} cores)")
     gate["value"] = ev["efficiency"]
     gate["met"] = bool(ev["efficiency"] >= 0.8)
+    if (ev.get("cores_lo"), ev.get("cores_hi")) == (2, 8):
+        gate["met_2to8"] = gate["met"]
     gate["met_basis"] = basis if gate["met"] else None
     if not gate["met"] and (gate.get("value_1to4") or 0) >= 0.8:
         # the criterion is N->4N; the 1->4 pair satisfies it even when the
@@ -1409,12 +1453,18 @@ def _committed_campaigns() -> list[dict]:
         s = d.get("scaling_large") or d.get("scaling")
         if not isinstance(s, dict) or s.get("efficiency") is None:
             continue
+        lo, hi = s.get("cores_lo"), s.get("cores_hi")
         out.append({
             "file": os.path.basename(path),
             "efficiency": s["efficiency"],
             "basis": s.get("headline_basis"),
             "rows": s.get("rows"),
-            "cores": f"{s.get('cores_lo')}->{s.get('cores_hi')}",
+            "cores": f"{lo}->{hi}",
+            # criterion-pair tag so gate consumers can filter 1->4 vs 2->8
+            # evidence (round-4 advisor)
+            "pair": ("1to4" if (lo, hi) == (1, 4)
+                     else "2to8" if (lo, hi) == (2, 8)
+                     else f"{lo}to{hi}"),
         })
     return out
 

@@ -77,8 +77,25 @@ def word_frequency_agg(token_view: DataFrame) -> DataFrame:
 def word_frequency_agg_arrow(corpus: DataFrame, text_col: str = "content",
                              pattern: str | None = None) -> DataFrame:
     """word_frequency_agg computed from the corpus via an Arrow partial
-    aggregation — row-set identical output, one corpus scan, no 25x token
-    explode through the JVM regex engine.
+    aggregation — row-set identical output ON ASCII TEXT (see the
+    equivalence-domain note below), one corpus scan, no 25x token explode
+    through the JVM regex engine.
+
+    EQUIVALENCE DOMAIN (round-5 clarification, per the round-4 advisor):
+    this path tokenizes with Python ``re`` — Unicode ``\\w``/``\\s``
+    semantics, the same semantics as the reference's nltk
+    RegexpTokenizer (/root/reference/src/preprocess/human_trafficking.py
+    tokenizes with Python re), so THIS path is the reference-faithful
+    one and the engine's default (PipelineConfig.freq_impl='vector').
+    The relational twin (word_frequency_agg over token_view) tokenizes
+    with JVM regexp_extract_all — ASCII ``\\w``/``\\s`` — so the two
+    DIVERGE on non-ASCII text: 'café' is one token here but
+    ['caf', 'é'] in the JVM, and NBSP separates tokens only here. The
+    row-set-identity claim and test_word_frequency_agg_arrow_parity
+    hold on ASCII corpora (the synthetic corpus is ASCII);
+    test_word_frequency_tokenizer_divergence_non_ascii pins the
+    non-ASCII divergence as an explicit, tested deviation with the
+    Python side authoritative.
 
     The JVM path pays regexp_extract_all + posexplode over every token
     (~25 rows materialized per document) before its hash aggregate; this

@@ -129,6 +129,12 @@ def tokenize_batch(row_ids, texts, tok_re):
     span, token text (object ndarray via unique gather), factorize codes
     and the unique token list.  All int arrays are int64.
     """
+    if tok_re.groups:
+        # findall would return group text, not full matches, silently
+        # misaligning tokens vs the finditer/run-derived spans below
+        raise ValueError(
+            "tokenize_batch requires a pattern without capture groups "
+            f"(got {tok_re.groups}); use (?:...) for grouping")
     txts = [t if isinstance(t, str) else ("" if t is None else str(t))
             for t in texts]
     nrows = len(txts)
@@ -161,13 +167,18 @@ def tokenize_batch(row_ids, texts, tok_re):
     run_cum = np.cumsum(run_lens)
     run_cum0 = run_cum - run_lens
     cum = np.cumsum(tok_lens)
-    if run_cum.size == 0 or cum[-1] != run_cum[-1]:
+    if (run_cum.size == 0 or cum[-1] != run_cum[-1]
+            or any(_WS_RE.search(u) for u in uniques)):
         # pattern does not tile the \S-runs (a skipped char is a gap and
-        # every gap breaks the char totals, so the totals check is exact):
-        # fall back to per-match spans (slow but pattern-agnostic)
+        # every gap breaks the char totals, so the totals check is exact
+        # for ws-free tokens) OR some token CONTAINS whitespace (then the
+        # run arithmetic is meaningless even if totals coincide): fall
+        # back to per-match spans (slow but pattern-agnostic). groups==0
+        # is asserted at entry, so finditer spans align with findall text.
         gs_ge = np.asarray([m.span() for m in tok_re.finditer(big)],
                            dtype=_I64)
         gs, ge = gs_ge[:, 0], gs_ge[:, 1]
+        assert gs_ge.shape[0] == len(toks)
     else:
         start_in_concat = cum - tok_lens
         runi = np.searchsorted(run_cum, start_in_concat, side="right")

@@ -142,13 +142,19 @@ def stream_triples(spark: SparkSession, corpus_dir: str, warehouse: str,
                  F.max("confidence").alias("conf"))
             .withColumn("batch_id", F.lit(int(batch_id)))
         )
-        cat.write_table(facts, warehouse, "triple_deltas", mode="overwrite",
-                        partition_by=["batch_id"], dynamic_overwrite=True)
-        ck.record_stage(
-            spark, warehouse, run_id, "s4-stream",
-            rows_out=facts.count(),
-            counters={"batch_id": int(batch_id), **ck.LINEAGE_SOURCE_BATCH},
-        )
+        # one materialization per batch: without the persist the counter's
+        # count() below re-runs the whole fused-stage-1 DAG a second time
+        facts = facts.persist()
+        try:
+            cat.write_table(facts, warehouse, "triple_deltas", mode="overwrite",
+                            partition_by=["batch_id"], dynamic_overwrite=True)
+            ck.record_stage(
+                spark, warehouse, run_id, "s4-stream",
+                rows_out=facts.count(),
+                counters={"batch_id": int(batch_id), **ck.LINEAGE_SOURCE_BATCH},
+            )
+        finally:
+            facts.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(process)

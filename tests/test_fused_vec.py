@@ -150,6 +150,35 @@ def test_non_tiling_pattern_falls_back():
     assert multiset(ldf) == multiset(vdf)
 
 
+def test_capture_group_pattern_rejected():
+    # findall on a grouped pattern returns group text, not full matches —
+    # tokenize_batch refuses rather than silently misaligning spans
+    pat = re.compile(r"([A-Za-z]+)")
+    with pytest.raises(ValueError, match="capture group"):
+        fused_vec.tokenize_batch([0], ["ab cd"], pat)
+    # the non-capturing form is accepted
+    fused_vec.tokenize_batch([0], ["ab cd"], re.compile(r"(?:[A-Za-z])+"))
+
+
+def test_whitespace_matching_pattern_spans_correct():
+    # a pattern whose tokens CONTAIN whitespace can tile the \S-run char
+    # totals coincidentally; the fallback must kick in and emit true spans
+    pat = re.compile(r"\w+ \w+|\w+")
+    text = "ab cd"  # one token "ab cd" (5 chars) vs \S runs "ab"+"cd" (4)
+    _, _, _, start, end, toks, _, _ = fused_vec.tokenize_batch(
+        [0], [text], pat)
+    assert list(toks) == ["ab cd"]
+    assert list(start) == [0] and list(end) == [5]
+    # and a case where totals DO coincide: token "b c" (3 chars, skips the
+    # \S char 'a', includes the ws char ' ') over runs "ab"(2)+"c"(1) = 3
+    # — only the ws-containing-token check routes this to the fallback;
+    # the arithmetic fast path would emit the wrong span (0,3) = "ab "
+    text2 = "ab c"
+    pat2 = re.compile(r"b c")
+    _, _, _, s2, e2, t2, _, _ = fused_vec.tokenize_batch([0], [text2], pat2)
+    assert list(zip(t2, s2, e2)) == [("b c", 1, 4)]
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_randomized_fuzz(seed):
     import random
@@ -210,6 +239,42 @@ def test_word_frequency_agg_arrow_value_min(spark):
     assert arrow == rel
     zzq = {t for t in arrow if t[0] == "zzq"}
     assert zzq == {("zzq", 4, 1, 2)}
+
+
+def test_word_frequency_tokenizer_divergence_non_ascii(spark):
+    """The two frequency paths' EQUIVALENCE DOMAIN is ASCII — pinned here
+    as an explicit, tested deviation (round-4 advisor): the Arrow path
+    tokenizes with Python re (Unicode \\w/\\s — the reference-faithful
+    nltk semantics, and the engine default), the relational path with JVM
+    regexp_extract_all (ASCII \\w/\\s). On 'café' and NBSP they MUST
+    diverge exactly as documented in word_frequency_agg_arrow; if this
+    test ever fails because they AGREE, the JVM path changed semantics
+    and the docstring + this pin need updating together."""
+    from ht_ner_spark.operators import antirules as ar
+    from ht_ner_spark.operators.tokens import token_view, with_tokens
+    from ht_ner_spark.schemas import CORPUS
+
+    rows = [(1, "r", "p", "c", "py", "café bistro menu", "h1")]
+    df = spark.createDataFrame(rows, CORPUS).coalesce(1)
+    arrow = {r["tok"] for r in ar.word_frequency_agg_arrow(df).collect()}
+    rel = {r["tok"] for r in ar.word_frequency_agg(
+        token_view(with_tokens(df))).collect()}
+    # Python \w+ keeps 'café' whole; NBSP is \s, so 'bistro' and 'menu'
+    # split into two tokens
+    assert arrow == {"café", "bistro", "menu"}
+    # JVM \w+ stops at 'é' ('caf' + 'é' via the \S+ fallback... which
+    # greedily eats through the NBSP since JVM \S matches it)
+    assert "caf" in rel and "café" not in rel
+    assert arrow != rel
+    # NBSP: \s in Python (a separator), \S in the JVM (the \S+ arm
+    # glues it onto the next token)
+    rows2 = [(2, "r", "p", "c", "py", "bistro menu", "h2")]
+    df2 = spark.createDataFrame(rows2, CORPUS).coalesce(1)
+    arrow2 = {r["tok"] for r in ar.word_frequency_agg_arrow(df2).collect()}
+    rel2 = {r["tok"] for r in ar.word_frequency_agg(
+        token_view(with_tokens(df2))).collect()}
+    assert arrow2 == {"bistro", "menu"}
+    assert rel2 == {"bistro", " menu"}
 
 
 def test_pipeline_freq_impl_parity(spark, tmp_path):
