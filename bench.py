@@ -1450,22 +1450,26 @@ def _committed_campaigns() -> list[dict]:
                 d = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        s = d.get("scaling_large") or d.get("scaling")
-        if not isinstance(s, dict) or s.get("efficiency") is None:
-            continue
-        lo, hi = s.get("cores_lo"), s.get("cores_hi")
-        out.append({
-            "file": os.path.basename(path),
-            "efficiency": s["efficiency"],
-            "basis": s.get("headline_basis"),
-            "rows": s.get("rows"),
-            "cores": f"{lo}->{hi}",
-            # criterion-pair tag so gate consumers can filter 1->4 vs 2->8
-            # evidence (round-4 advisor)
-            "pair": ("1to4" if (lo, hi) == (1, 4)
-                     else "2to8" if (lo, hi) == (2, 8)
-                     else f"{lo}to{hi}"),
-        })
+        # one row PER series: a campaign file may carry a 2M 2->8 series
+        # AND a 1->4 series (r4 finals do) — both are evidence, each under
+        # its own criterion-pair tag (round-4 advisor). The 2M large
+        # series outranks the 600k one within a file (same pair, less
+        # floor), so 'scaling' is only read when 'scaling_large' is absent.
+        series = [d.get("scaling_n4"), d.get("scaling_large") or d.get("scaling")]
+        for s in series:
+            if not isinstance(s, dict) or s.get("efficiency") is None:
+                continue
+            lo, hi = s.get("cores_lo"), s.get("cores_hi")
+            out.append({
+                "file": os.path.basename(path),
+                "efficiency": s["efficiency"],
+                "basis": s.get("headline_basis"),
+                "rows": s.get("rows"),
+                "cores": f"{lo}->{hi}",
+                "pair": ("1to4" if (lo, hi) == (1, 4)
+                         else "2to8" if (lo, hi) == (2, 8)
+                         else f"{lo}to{hi}"),
+            })
     return out
 
 
@@ -1481,16 +1485,32 @@ def scaling_only(include_large: bool = True) -> None:
     print(json.dumps(out))
 
 
+def scaling_n4_only(pairs: int = 3) -> None:
+    """Dev entry point: the 1->4-core 2M series alone — the gate's primary
+    criterion pair (round 5). Artifact shape matches the full bench's
+    'scaling_n4' section (plus the gate summary), so committed campaign
+    files feed _committed_campaigns with pair='1to4'."""
+    s = scaling_run(rows=SCALING_LARGE_ROWS, pairs=pairs, clean_target=pairs,
+                    extra_pairs=1, timeout=900.0, cores=(1, 4),
+                    est_sec=EST_RUN_SEC_N4)
+    print(json.dumps({"scaling_n4": s,
+                      "scaling_gate": _scaling_gate(None, None, s)}))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--scaling-only", action="store_true")
+    ap.add_argument("--scaling-n4-only", action="store_true")
     ap.add_argument("--no-large", action="store_true")
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--rows", type=int, default=SCALING_ROWS)
+    ap.add_argument("--pairs", type=int, default=3)
     args = ap.parse_args()
     if args.pipeline_only:
         pipeline_only(args.cores, args.rows)
+    elif args.scaling_n4_only:
+        scaling_n4_only(pairs=args.pairs)
     elif args.scaling_only:
         scaling_only(include_large=not args.no_large)
     else:
