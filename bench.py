@@ -1028,11 +1028,8 @@ def ann_tradeoff(spark, sf_dir: str, n_queries: int = 50, k: int = 10) -> dict |
              # compare ivf_medoid_disjoint (honest medoids) and ivf_kmeans
              "queries_are_centroids": True})
         # honest medoid baseline: centroids drawn DISJOINT from the query set
-        disj_rows = (vecs.where(F.col("vec_id") >= n_queries + 50)
-                     .select(F.col("vec_id").alias("id"),
-                             F.col("embedding").cast("array<double>").alias("v"))
-                     .orderBy("id").limit(IVF_CELLS).collect())
-        disj_c = [(i, list(r["v"])) for i, r in enumerate(disj_rows)]
+        disj_c = sim.seed_centroids(vecs, n_cells=IVF_CELLS,
+                                    min_id=n_queries + 50)
         add("ivf_medoid_disjoint",
             sim.ivf_topk(vecs, queries, disj_c, k=k, nprobe=IVF_NPROBE),
             {"cells": IVF_CELLS, "nprobe": IVF_NPROBE})
@@ -1265,7 +1262,10 @@ def main() -> None:
             _emit(out, t_start)
 
         out["scaling_large"] = scaling_run(
-            rows=SCALING_LARGE_ROWS, pairs=SCALING_LARGE_PAIRS,
+            # 2+1 pairs since round 5 (r4 ran SCALING_LARGE_PAIRS=3+1):
+            # this series is corroboration, not the gate citation, and the
+            # freed ~500 s funds the thicker scaling_n4 + calib/variants
+            rows=SCALING_LARGE_ROWS, pairs=2,
             # 900s per-run cap = the dev-campaign protocol (ade87a2): a 2M
             # run needing more is >=3x any clean run and always classifies
             # unclean; 600 killed degraded-window runs that still complete
@@ -1395,6 +1395,16 @@ def _scaling_gate(scaling: dict | None, scaling_large: dict | None,
             [c for c in met_committed if c.get("pair") == "1to4"]),
         "best_committed": (max(campaigns, key=lambda c: c["efficiency"])
                            if campaigns else None),
+        # per-pair bests: 1->4 efficiencies run systematically higher than
+        # 2->8 on this box, so the overall best_committed switched pairs in
+        # r5 — cross-round readers comparing against pre-r5 artifacts
+        # (2to8-only by construction) should use the pair-scoped field
+        "best_committed_2to8": max(
+            (c for c in campaigns if c.get("pair") == "2to8"),
+            key=lambda c: c["efficiency"], default=None),
+        "best_committed_1to4": max(
+            (c for c in campaigns if c.get("pair") == "1to4"),
+            key=lambda c: c["efficiency"], default=None),
     }
     # the 1->4-core confirmation series: the same N->4N criterion measured
     # below the single-box DRAM ceiling (see the scaling_n4 section note).

@@ -2489,7 +2489,7 @@ FROM pairs WHERE sim >= {NEARDUP_MIN_COSINE}
 # INFLATED by queries-are-centroids leakage — the query set (vec_id <
 # ANN_QUERIES) is a subset of the 64 lowest-id medoids, so every query
 # probes cells centered on itself. Honest recall at the same settings
-# (query-DISJOINT medoids) is 0.452, and the production kmeans quantizer's
+# (query-DISJOINT medoids) is 0.544, and the production kmeans quantizer's
 # honest 0.614 beats it at matched candidate fraction (~0.19); see
 # similarity.seed_centroids / kmeans_centroids docstrings and
 # BENCH ann_tradeoff's ivf_medoid_disjoint row. The oracle query keeps the
@@ -5918,6 +5918,8 @@ STREAM_SLICE = 300  # docs: row_id < 300, split round-robin into 2 files
 
 
 def q_stream_triples_merge(spark, sf_dir):
+    import atexit
+    import shutil
     import tempfile
 
     from .corpus import load_documents
@@ -5925,6 +5927,10 @@ def q_stream_triples_merge(spark, sf_dir):
 
     corpus = load_documents(spark, sf_dir).where(F.col("row_id") < STREAM_SLICE)
     base = tempfile.mkdtemp(prefix="htner_stream_q_")
+    # the returned frame lazily reads the delta warehouse, so removal must
+    # outlive materialization: defer to process exit (no orphaned
+    # /tmp/htner_stream_q_* accumulation across driver runs)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     corpus_dir = os.path.join(base, "corpus")
     wh = os.path.join(base, "wh")
     os.makedirs(corpus_dir, exist_ok=True)

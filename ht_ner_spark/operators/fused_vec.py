@@ -159,6 +159,46 @@ def tokenize_batch(row_ids, texts, tok_re):
     table = np.zeros(int(ucp[-1]) + 1, dtype=np.bool_)
     if ws_present.size:
         table[ws_present] = True
+    # does any token CONTAIN whitespace? vectorized through the same
+    # codepoint table (every unique's chars occur in `big`, so the table
+    # covers them) — no per-unique Python regex on the hot path
+    u_cat = "".join(uniques)
+    has_ws_tok = bool(
+        u_cat
+        and table[np.frombuffer(u_cat.encode("utf-32-le"),
+                                dtype=np.uint32)].any())
+    if has_ws_tok:
+        # a ws-capable pattern can also match ACROSS the "\n" joiner of
+        # the batch scan above, merging tokens from adjacent rows with
+        # out-of-range spans — rescan PER ROW (also the loop-labeler
+        # parity semantics). Slow path; only non-default patterns hit it.
+        r_toks: list = []
+        r_s: list = []
+        r_e: list = []
+        r_ri: list = []
+        for i, t in enumerate(txts):
+            for m in tok_re.finditer(t):
+                r_toks.append(m.group(0))
+                r_s.append(m.start())
+                r_e.append(m.end())
+                r_ri.append(i)
+        if not r_toks:
+            z = np.zeros(0, dtype=_I64)
+            return z, z, z, z, z, np.zeros(0, dtype=object), z, []
+        codes, uniq = pd.factorize(np.asarray(r_toks, dtype=object))
+        codes = codes.astype(_I64, copy=False)
+        uniques = list(uniq)
+        ridx = np.asarray(r_ri, dtype=_I64)
+        start = np.asarray(r_s, dtype=_I64)
+        end = np.asarray(r_e, dtype=_I64)
+        row_len = np.bincount(ridx, minlength=nrows).astype(_I64)
+        rid_arr = np.asarray(row_ids, dtype=_I64)
+        row_first = np.concatenate(([0], np.cumsum(row_len[:-1])))
+        pos = np.arange(len(r_toks), dtype=_I64) - row_first[ridx]
+        tok_obj = np.asarray(uniq, dtype=object)[codes]
+        return (rid_arr[ridx], pos, row_len[ridx], start, end, tok_obj,
+                codes, uniques)
+
     ws = table[arr]
     ns = ~ws
     run_start_idx = np.nonzero(ns & ~np.concatenate(([False], ns[:-1])))[0]
@@ -167,14 +207,13 @@ def tokenize_batch(row_ids, texts, tok_re):
     run_cum = np.cumsum(run_lens)
     run_cum0 = run_cum - run_lens
     cum = np.cumsum(tok_lens)
-    if (run_cum.size == 0 or cum[-1] != run_cum[-1]
-            or any(_WS_RE.search(u) for u in uniques)):
+    if run_cum.size == 0 or cum[-1] != run_cum[-1]:
         # pattern does not tile the \S-runs (a skipped char is a gap and
         # every gap breaks the char totals, so the totals check is exact
-        # for ws-free tokens) OR some token CONTAINS whitespace (then the
-        # run arithmetic is meaningless even if totals coincide): fall
+        # for ws-free tokens — the ws-token case returned above): fall
         # back to per-match spans (slow but pattern-agnostic). groups==0
-        # is asserted at entry, so finditer spans align with findall text.
+        # is asserted at entry, so finditer spans align with findall
+        # text, and ws-free matches can never cross the "\n" joiner.
         gs_ge = np.asarray([m.span() for m in tok_re.finditer(big)],
                            dtype=_I64)
         gs, ge = gs_ge[:, 0], gs_ge[:, 1]

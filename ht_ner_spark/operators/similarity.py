@@ -148,27 +148,34 @@ def bucketed_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def seed_centroids(vectors: DataFrame, n_cells: int = 16,
-                   id_col: str = "vec_id", vec_col: str = "embedding"
-                   ) -> list[tuple[int, list[float]]]:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   min_id: int = 0) -> list[tuple[int, list[float]]]:
     """Deterministic medoid coarse quantizer: the ``n_cells`` vectors of
-    smallest id, cell_id = their rank in id order. A pure function of the
-    data (no RNG, no float accumulation), so a SQL oracle reproduces the
-    cells bit-for-bit — the determinism twin of :func:`kmeans_centroids`
-    (same role as FakeTokenClassifier vs HFTokenClassifier in M1).
+    smallest id >= ``min_id``, cell_id = their rank in id order. A pure
+    function of the data (no RNG, no float accumulation), so a SQL oracle
+    reproduces the cells bit-for-bit — the determinism twin of
+    :func:`kmeans_centroids` (same role as FakeTokenClassifier vs
+    HFTokenClassifier in M1). Pass ``min_id`` past the query-id range to
+    get the HONEST medoid baseline (bench ann_tradeoff's
+    ivf_medoid_disjoint and tests/test_ivf.py use this — one
+    implementation, not three copies).
 
     EVALUATION CAVEAT (round-5 diagnosis): recall measured with a query set
     that overlaps these lowest-id medoids is INFLATED — a query that is
     itself a centroid probes cells centered on itself, and its true
     neighbors' cell assignments correlate with exactly those cells. On the
-    sf0.1 testdata at (64 cells, nprobe 12) this artifact is worth +0.51
+    sf0.1 testdata at (64 cells, nprobe 12) this artifact is worth +0.42
     recall: 0.962 with queries ``vec_id < 50`` (all of them medoids) vs
-    0.452 with medoids drawn disjoint from the query set. The honest
-    quantizer ranking at matched candidate fraction (~0.19) is
-    kmeans 0.614 > disjoint-medoid 0.452 — the production quantizer WINS;
+    0.544 with medoids drawn disjoint from the query set (ids past the
+    query range — the bench/sweep construction; a second draw from ids
+    >= 1000 measured 0.452). The honest quantizer ranking at matched
+    candidate fraction (~0.19) is
+    kmeans 0.614 > disjoint-medoid 0.544 — the production quantizer WINS;
     gate recall claims on :func:`kmeans_centroids` or disjoint medoids,
     never on overlapping ones (tests/test_ivf.py does)."""
-    rows = (vectors.select(F.col(id_col).alias("id"),
-                           F.col(vec_col).cast("array<double>").alias("v"))
+    rows = (vectors.where(F.col(id_col) >= min_id)
+            .select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
             .orderBy("id").limit(n_cells).collect())
     return [(i, list(r["v"])) for i, r in enumerate(rows)]
 
@@ -186,7 +193,7 @@ def kmeans_centroids(vectors: DataFrame, n_cells: int = 16, seed: int = 42,
     Recall is honest and healthy: at (64 cells, nprobe 12) on sf0.1 it
     recalls 0.614 of the exact top-10 from a 0.191 candidate fraction — a
     3.2x lift over random sampling on data with NO cluster structure, and
-    ahead of query-disjoint medoids (0.452) at the same cost. The round-4
+    ahead of query-disjoint medoids (0.544) at the same cost. The round-4
     "kmeans 0.614 vs seed 0.962" gap was an evaluation artifact of
     overlapping queries and medoids (see seed_centroids), not a quantizer
     defect; Euclidean-vs-cosine metric mismatch was also ruled out —

@@ -177,6 +177,18 @@ def test_whitespace_matching_pattern_spans_correct():
     pat2 = re.compile(r"b c")
     _, _, _, s2, e2, t2, _, _ = fused_vec.tokenize_batch([0], [text2], pat2)
     assert list(zip(t2, s2, e2)) == [("b c", 1, 4)]
+    # cross-row guard: a ws-capable pattern must NEVER match across the
+    # "\n" joiner between batch rows — the joined scan would emit a
+    # phantom token "ab\ncd" for row 0 with span (0, 5) on a 2-char row;
+    # the ws-token branch rescans per row (here: no matches at all)
+    rid3, _, _, _, _, t3, _, _ = fused_vec.tokenize_batch(
+        [0, 1], ["ab", "cd"], re.compile(r"\w+\s\w+|\w+ \w+"))
+    assert len(t3) == 0 and len(rid3) == 0
+    # and per-row matches stay row-local with row-local spans
+    rid4, pos4, _, s4, e4, t4, _, _ = fused_vec.tokenize_batch(
+        [7, 9], ["x y", "p q"], re.compile(r"\w \w|\w+\s\w+"))
+    assert list(zip(rid4, t4, s4, e4)) == [(7, "x y", 0, 3), (9, "p q", 0, 3)]
+    assert list(pos4) == [0, 0]
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])

@@ -75,15 +75,11 @@ def _recall(exact, got_df):
 
 
 def _disjoint_medoids(vecs, n_cells, min_id):
-    """seed_centroids' shape, but drawn from ids >= min_id so the quantizer
-    never contains a query vector — the honest medoid baseline (the lowest-id
-    medoids overlap the test queries and inflate recall by self-centered
-    probing; see seed_centroids docstring)."""
-    rows = (vecs.where(F.col("vec_id") >= min_id)
-            .select(F.col("vec_id").alias("id"),
-                    F.col("embedding").cast("array<double>").alias("v"))
-            .orderBy("id").limit(n_cells).collect())
-    return [(i, list(r["v"])) for i, r in enumerate(rows)]
+    """Medoids drawn from ids >= min_id so the quantizer never contains a
+    query vector — the honest medoid baseline (the lowest-id medoids
+    overlap the test queries and inflate recall by self-centered probing;
+    see seed_centroids docstring). Same implementation the bench uses."""
+    return sim.seed_centroids(vecs, n_cells=n_cells, min_id=min_id)
 
 
 @pytest.fixture(scope="module")
@@ -119,7 +115,7 @@ def test_kmeans_beats_honest_medoids(vecs, queries, exact_pairs):
     """Quantizer quality, evaluated WITHOUT the queries-are-centroids
     artifact: at identical (cells, nprobe) the production kmeans quantizer
     must recall at least as much as medoids drawn disjoint from the query
-    set (measured 0.767 vs 0.533 at sf0.001; 0.614 vs 0.452 at sf0.1 —
+    set (measured 0.767 vs 0.533 at sf0.001; 0.614 vs 0.544 at sf0.1 —
     the round-4 'kmeans loses to the stand-in by 35 points' finding was an
     artifact of overlapping queries and medoids, not a quantizer defect)."""
     km = sim.kmeans_centroids(vecs, n_cells=8, seed=42, max_iter=20)
