@@ -1154,6 +1154,7 @@ def main() -> None:
         "scaling_large": None,
         "scaling_n4": None,
         "scaleout_calib": None,
+        "scaleout_calib_n4": None,
         "variants": None,
         "ann_tradeoff": None,
         "sections_done": ["suite"],
@@ -1285,10 +1286,13 @@ def main() -> None:
 
     # model of N->4N executor scale-out: independent forked processes over
     # the same fixed input (see scaleout_calib docstring). Ahead of the
-    # 600k series since round 5 — it was budget-starved in r3+r4.
+    # 600k series since round 5 — it was budget-starved in r3+r4. Run at
+    # BOTH criterion pairs so the process model lines up with each live
+    # series (2->8 matches scaling_large, 1->4 matches scaling_n4).
     if room_for(240):
         out["scaleout_calib"] = scaleout_calib()
         _mark(out, "scaleout_calib")
+        out["scaleout_calib_n4"] = scaleout_calib(levels=(1, 4))
         _emit(out, t_start)
     else:
         out["sections_skipped"].append(
