@@ -49,10 +49,11 @@ artifacts), and committed campaigns are tagged with their core pair.
 
 Round-5 budget order (VERDICT r4 next-#3/#5): scaling_n4 runs FIRST with
 2-3 pre-declared pairs (the primary gate citation must never rest on an
-n=1 pair), then scaling_large at 2 pairs, then the cheap scaleout_calib +
-variants sections (budget-skipped in r3/r4, now ahead of the 600k series),
-then the 600k cross-round headline series — budget truncation now lands on
-the least-load-bearing section last.
+n=1 pair), then the cheap scaleout_calib + variants sections (the r4
+verdict's done-criterion is both non-null in the DRIVER artifact, so they
+precede every 2->8 campaign), then scaling_large at 2+1 pairs, then the
+600k cross-round headline series — budget truncation lands on the
+least-load-bearing sections last.
 """
 
 from __future__ import annotations
@@ -880,6 +881,9 @@ def variant_runs() -> dict:
     default vs this), 'relational_freq' = the exploded JVM frequency agg
     (vs the default Arrow partial-count). 'default' at the same size
     anchors the comparison."""
+    # 150k: large enough that the Arrow-path wins are visible over fixed
+    # costs (at 100k the one-run table inverts — default measured 8.5k
+    # vs relational_freq 10.2k, pure floor noise)
     rows = int(os.environ.get("SPARK_GRAFT_VARIANT_ROWS", "150000"))
     cores = SCALING_CORES[-1]
     out: dict = {"rows": rows, "cores": cores}
@@ -1199,10 +1203,10 @@ def main() -> None:
 
     # campaign order (round 5, VERDICT r4 next-#3/#5): the 1->4-core 2M
     # series FIRST — it is the scaling_gate's primary citation and must
-    # carry >=2 live pairs — then the 2->8 2M protocol series (trimmed to
-    # 2 pairs), then the cheap scaleout_calib/variants sections (budget-
-    # skipped in r3+r4 when they ran last), then the 600k cross-round
-    # headline series. Budget truncation lands on the tail.
+    # carry >=2 live pairs — then scaleout_calib + variants (cheap,
+    # driver-artifact-mandated), then the 2->8 2M protocol series
+    # (trimmed to 2+1 pairs), then the 600k cross-round headline series.
+    # Budget truncation lands on the tail.
     pyfiles_made = False
 
     def _ensure_pyfiles() -> None:
@@ -1252,6 +1256,32 @@ def main() -> None:
              else "SPARK_GRAFT_NO_N4"
              if os.environ.get("SPARK_GRAFT_NO_N4") else "budget"})
 
+    # scaleout_calib + variants run BEFORE the 2->8 campaigns since round
+    # 5.1: the round-4 verdict's done-criterion is both sections non-null
+    # in the DRIVER's artifact, and in a degraded window scaling_large's
+    # contingency pair would otherwise push them past the deadline (the
+    # final2 rehearsal missed variants by ~60 s). Model of N->4N executor
+    # scale-out: independent forked processes over the same fixed input
+    # (see scaleout_calib docstring), at BOTH criterion pairs so the
+    # process model lines up with each live series.
+    if room_for(240):
+        out["scaleout_calib"] = scaleout_calib()
+        _mark(out, "scaleout_calib")
+        out["scaleout_calib_n4"] = scaleout_calib(levels=(1, 4))
+        _emit(out, t_start)
+    else:
+        out["sections_skipped"].append(
+            {"section": "scaleout_calib", "reason": "budget"})
+
+    if room_for(350):  # 5 variants x ~60-70 s spark-submit at 150k rows
+        _ensure_pyfiles()
+        out["variants"] = variant_runs()
+        _mark(out, "variants")
+        _emit(out, t_start)
+    else:
+        out["sections_skipped"].append(
+            {"section": "variants", "reason": "budget"})
+
     if not os.environ.get("SPARK_GRAFT_NO_LARGE") and room_for(
             1.15 * (EST_RUN_SEC_2M[2] + EST_RUN_SEC_2M[8]) + 60):
         _ensure_pyfiles()
@@ -1283,29 +1313,6 @@ def main() -> None:
             {"section": "scaling_large",
              "reason": "SPARK_GRAFT_NO_LARGE"
              if os.environ.get("SPARK_GRAFT_NO_LARGE") else "budget"})
-
-    # model of N->4N executor scale-out: independent forked processes over
-    # the same fixed input (see scaleout_calib docstring). Ahead of the
-    # 600k series since round 5 — it was budget-starved in r3+r4. Run at
-    # BOTH criterion pairs so the process model lines up with each live
-    # series (2->8 matches scaling_large, 1->4 matches scaling_n4).
-    if room_for(240):
-        out["scaleout_calib"] = scaleout_calib()
-        _mark(out, "scaleout_calib")
-        out["scaleout_calib_n4"] = scaleout_calib(levels=(1, 4))
-        _emit(out, t_start)
-    else:
-        out["sections_skipped"].append(
-            {"section": "scaleout_calib", "reason": "budget"})
-
-    if room_for(400):  # 5 variants x ~60-70 s spark-submit at 150k rows
-        _ensure_pyfiles()
-        out["variants"] = variant_runs()
-        _mark(out, "variants")
-        _emit(out, t_start)
-    else:
-        out["sections_skipped"].append(
-            {"section": "variants", "reason": "budget"})
 
     if room_for(1.15 * (EST_RUN_SEC_600K[2] + EST_RUN_SEC_600K[8]) + 40):
         _ensure_pyfiles()
